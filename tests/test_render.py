@@ -1,0 +1,169 @@
+"""Renderer tests: red-pixel check, dense-vs-tiled golden agreement,
+differentiability, batching (SURVEY.md §4 rebuild test plan)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fresnel_tpu.core.gaussians import GaussianCloud
+from fresnel_tpu.core.camera import Camera
+from fresnel_tpu.render.dense import render_dense
+from fresnel_tpu.render.tile import render_tiled, TileRendererConfig
+
+
+def single_red_gaussian():
+    return GaussianCloud(
+        positions=jnp.array([[0.0, 0.0, 0.0]], jnp.float32),
+        scales=jnp.full((1, 3), 0.3, jnp.float32),
+        rotations=jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32),
+        colors=jnp.array([[1.0, 0.0, 0.0]], jnp.float32),
+        opacities=jnp.array([0.95], jnp.float32),
+    )
+
+
+def render_args(cloud, cam):
+    return (cloud.positions, cloud.scales, cloud.rotations,
+            cloud.colors, cloud.opacities, cam)
+
+
+class TestRedPixel:
+    """A single red Gaussian at the origin renders a red center pixel
+    (reference: tests/test_gaussian_renderer.cpp:148-203)."""
+
+    @pytest.mark.parametrize("renderer", [render_dense, render_tiled])
+    def test_center_red(self, renderer):
+        cam = Camera.default_training(64)
+        img = renderer(*render_args(single_red_gaussian(), cam))
+        assert img.shape == (3, 64, 64)
+        center = img[:, 32, 32]
+        assert float(center[0]) > 0.5, f"center not red: {center}"
+        assert float(center[1]) < 0.1
+        assert float(center[2]) < 0.1
+        # Corner is background (black).
+        corner = img[:, 0, 0]
+        assert float(jnp.max(corner)) < 0.05
+
+
+class TestGoldenAgreement:
+    def test_tiled_matches_dense(self):
+        cloud = GaussianCloud.test_cloud(300, seed=11, spread=0.6, z_offset=-2.5)
+        cam = Camera.default_training(96)
+        ref = render_dense(*render_args(cloud, cam))
+        out = render_tiled(*render_args(cloud, cam))
+        err = float(jnp.max(jnp.abs(ref - out)))
+        # hard_cutoff clips the <1.1% tail outside 3 sigma; allow small diff.
+        assert err < 0.02, f"max abs diff {err}"
+
+    def test_tiled_no_cutoff_matches_dense_tighter(self):
+        cloud = GaussianCloud.test_cloud(120, seed=13, spread=0.5, z_offset=-2.5)
+        cam = Camera.default_training(64)
+        ref = render_dense(*render_args(cloud, cam))
+        cfg = TileRendererConfig(hard_cutoff=False, max_per_tile=128)
+        out = render_tiled(*render_args(cloud, cam), config=cfg)
+        # Without the bbox cutoff the only differences are binning margin
+        # effects on far-away low-alpha tails.
+        assert float(jnp.max(jnp.abs(ref - out))) < 2e-2
+
+    def test_depth_output(self):
+        cloud = single_red_gaussian()
+        cam = Camera.default_training(64)
+        img, depth = render_tiled(*render_args(cloud, cam), return_depth=True)
+        assert depth.shape == (64, 64)
+        # Center depth should be near camera distance 2 weighted by alpha.
+        assert 0.5 < float(depth[32, 32]) <= 2.5
+
+
+class TestDifferentiability:
+    def test_grad_flows_to_all_params(self):
+        cloud = GaussianCloud.test_cloud(50, seed=21, spread=0.4, z_offset=-2.0)
+        cam = Camera.default_training(48)
+        target = jnp.zeros((3, 48, 48))
+
+        def loss_fn(pos, sc, rot, col, op):
+            img = render_tiled(pos, sc, rot, col, op, cam)
+            return jnp.mean((img - target) ** 2)
+
+        grads = jax.grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+            cloud.positions, cloud.scales, cloud.rotations,
+            cloud.colors, cloud.opacities)
+        for g, name in zip(grads, ["pos", "scale", "rot", "color", "op"]):
+            assert not bool(jnp.any(jnp.isnan(g))), f"NaN grad in {name}"
+        # Color gradient must be nonzero for a visible scene.
+        assert float(jnp.max(jnp.abs(grads[3]))) > 0
+
+    def test_grad_matches_finite_difference(self):
+        """Finite-difference check on opacity (smooth parameter)."""
+        cloud = single_red_gaussian()
+        cam = Camera.default_training(32)
+
+        def loss_fn(op):
+            img = render_tiled(cloud.positions, cloud.scales, cloud.rotations,
+                               cloud.colors, op, cam)
+            return jnp.sum(img)
+
+        op = cloud.opacities
+        g = jax.grad(loss_fn)(op)
+        eps = 1e-3
+        fd = (loss_fn(op + eps) - loss_fn(op - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(g[0]), float(fd), rtol=5e-3)
+
+    def test_empty_scene_keeps_gradient(self):
+        """All Gaussians behind the camera: background render, zero (not NaN)
+        grads — the reference needed a grad_anchor hack for this
+        (differentiable_renderer.py:327-331); masking gives it for free."""
+        cloud = GaussianCloud.test_cloud(10, z_offset=+5.0)  # behind camera
+        cam = Camera.default_training(32)
+
+        def loss_fn(pos):
+            img = render_tiled(pos, cloud.scales, cloud.rotations,
+                               cloud.colors, cloud.opacities, cam)
+            return jnp.mean(img)
+
+        img = render_tiled(*render_args(cloud, cam))
+        assert float(jnp.max(img)) == 0.0
+        g = jax.grad(loss_fn)(cloud.positions)
+        assert not bool(jnp.any(jnp.isnan(g)))
+
+
+class TestBatching:
+    def test_vmap_over_clouds(self):
+        b = 3
+        clouds = [GaussianCloud.test_cloud(40, seed=s) for s in range(b)]
+        pos = jnp.stack([c.positions for c in clouds])
+        sc = jnp.stack([c.scales for c in clouds])
+        rot = jnp.stack([c.rotations for c in clouds])
+        col = jnp.stack([c.colors for c in clouds])
+        op = jnp.stack([c.opacities for c in clouds])
+        cam = Camera.default_training(32)
+        imgs = jax.vmap(
+            lambda p, s, r, c, o: render_tiled(p, s, r, c, o, cam)
+        )(pos, sc, rot, col, op)
+        assert imgs.shape == (b, 3, 32, 32)
+        single = render_tiled(pos[0], sc[0], rot[0], col[0], op[0], cam)
+        np.testing.assert_allclose(imgs[0], single, atol=1e-5)
+
+
+class TestPhaseBlending:
+    def test_phase_blending_changes_output(self):
+        cloud = GaussianCloud.test_cloud(30, seed=31, spread=0.2, z_offset=-2.0)
+        cam = Camera.default_training(32)
+        rng = np.random.default_rng(0)
+        phases = jnp.asarray(rng.uniform(size=30).astype(np.float32))
+        cfg_on = TileRendererConfig(use_phase_blending=True, max_per_tile=64)
+        cfg_off = TileRendererConfig(use_phase_blending=False, max_per_tile=64)
+        img_on = render_tiled(*render_args(cloud, cam), phases=phases, config=cfg_on)
+        img_off = render_tiled(*render_args(cloud, cam), phases=phases, config=cfg_off)
+        assert float(jnp.max(jnp.abs(img_on - img_off))) > 1e-4
+
+    def test_aligned_phases_match_plain(self):
+        """All-equal phases: after the first hit, interference factor is 1 at
+        aligned phases; cos(0)=1 keeps alpha unchanged, so output matches the
+        plain renderer."""
+        cloud = GaussianCloud.test_cloud(20, seed=33, spread=0.2, z_offset=-2.0)
+        cam = Camera.default_training(32)
+        phases = jnp.zeros(20, jnp.float32)
+        cfg_on = TileRendererConfig(use_phase_blending=True, max_per_tile=64)
+        img_on = render_tiled(*render_args(cloud, cam), phases=phases, config=cfg_on)
+        img_off = render_tiled(*render_args(cloud, cam))
+        np.testing.assert_allclose(img_on, img_off, atol=1e-5)
