@@ -1,0 +1,150 @@
+"""Training configuration dataclasses.
+
+Field names and defaults mirror the reference's canonical flag surface
+(reference: scripts/training/train_gaussian_decoder.py:98-301) — BASELINE.md
+requires preserving it (--use_fresnel_zones, --use_edge_aware,
+--use_phase_blending, --fast_mode, --use_qsr, ...).  All configs are plain
+frozen-ish dataclasses used statically at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class TrainingConfig:
+    experiment: int = 2
+    data_dir: str = "images"
+    output_dir: str = "checkpoints"
+    batch_size: int = 4
+    epochs: int = 100
+    lr: float = 1e-4
+    weight_decay: float = 1e-5
+    image_size: int = 256
+    feature_size: int = 37
+    feature_dim: int = 384
+
+    # Depth fusion
+    use_depth_fusion: bool = False
+    depth_feature_dim: int = 64
+
+    # Loss weights
+    rgb_weight: float = 1.0
+    depth_weight: float = 0.1
+    ssim_weight: float = 0.5
+    lpips_weight: float = 0.1
+    residual_weight: float = 0.01
+
+    use_augmentation: bool = True
+
+    gaussians_per_patch: int = 4
+    max_images: Optional[int] = None
+
+    # Fibonacci decoder (Experiment 4)
+    n_spiral_points: int = 377
+    use_tensegrity_loss: bool = False
+    tensegrity_weight: float = 0.01
+
+    # NCA decoder (Experiment 5)
+    nca_steps: int = 16
+    nca_neighbors: int = 6
+    nca_step_size: float = 0.1
+
+    # VLM semantic guidance
+    use_vlm_guidance: bool = False
+    vlm_weight: float = 0.5
+
+    # Fresnel-inspired enhancements
+    use_fresnel_zones: bool = False
+    num_fresnel_zones: int = 8
+    boundary_weight: float = 0.1
+    use_edge_aware: bool = False
+    use_phase_blending: bool = False
+    use_phase_output: bool = False
+    edge_scale_factor: float = 0.5
+    edge_opacity_boost: float = 0.2
+    phase_amplitude: float = 0.25
+
+    # Multi-pose training
+    multi_pose_augmentation: bool = False
+    pose_range_elevation: Tuple[float, float] = (-30.0, 45.0)
+    pose_range_azimuth: Tuple[float, float] = (0.0, 360.0)
+    frontal_prob: float = 0.3
+    use_pose_encoding: bool = False
+
+    # Logging
+    log_interval: int = 10
+    save_interval: int = 10
+
+    # TPU-native additions (no reference equivalent):
+    num_devices: Optional[int] = None  # data-parallel devices (None = all)
+    seed: int = 0
+
+
+@dataclasses.dataclass
+class PhysicsConfig:
+    use_wave_rendering: bool = False
+    wavelength: float = 0.05
+    learnable_wavelength: bool = True
+    use_physics_zones: bool = False
+    num_zones: int = 8
+    focal_depth: float = 0.5
+    use_diffraction_placement: bool = False
+    wave_equation_weight: float = 0.0
+    use_multi_wavelength: bool = False
+    compare_with_baseline: bool = False
+
+
+@dataclasses.dataclass
+class HFGSConfig:
+    use_fourier_renderer: bool = False
+    use_phase_retrieval_loss: bool = True
+    phase_retrieval_weight: float = 0.1
+    use_frequency_loss: bool = True
+    frequency_loss_weight: float = 0.1
+    high_freq_weight: float = 2.0
+    frequency_cutoff: float = 0.1
+    learnable_wavelengths: bool = True
+    wavelength_r: float = 0.0635
+    wavelength_g: float = 0.05
+    wavelength_b: float = 0.041
+    focal_depth: float = 0.5
+
+
+@dataclasses.dataclass
+class HFTSConfig:
+    """Hybrid Fast Training System: multi-resolution + progressive growing +
+    stochastic Gaussian sampling."""
+
+    train_resolution: Optional[int] = None
+    progressive_schedule: bool = False
+    stochastic_k: Optional[int] = None
+    fast_mode: bool = False
+
+    def get_effective_train_resolution(self, image_size: int) -> int:
+        if self.fast_mode:
+            return 64
+        return self.train_resolution if self.train_resolution is not None else image_size
+
+    def get_gaussians_per_patch(self, epoch: int, total_epochs: int,
+                                base_gpp: int = 4) -> int:
+        """Progressive schedule: 1 -> 2 -> 4 -> base at the 25% marks."""
+        if not self.progressive_schedule and not self.fast_mode:
+            return base_gpp
+        progress = epoch / max(total_epochs, 1)
+        if progress < 0.25:
+            return 1
+        if progress < 0.50:
+            return 2
+        if progress < 0.75:
+            return max(4, base_gpp)
+        return base_gpp
+
+    def get_stochastic_k(self, total_gaussians: int) -> int:
+        if self.fast_mode and self.stochastic_k is None:
+            return min(256, total_gaussians)
+        if self.stochastic_k is not None:
+            return min(self.stochastic_k, total_gaussians)
+        return total_gaussians
