@@ -21,6 +21,31 @@ PI = jnp.pi
 HFGS_DEFAULT_WAVELENGTHS = (0.0635, 0.05, 0.041)  # R, G, B
 
 
+def _dft_matrix(n: int) -> jax.Array:
+    """(n, n) complex64 DFT matrix (host-built constant)."""
+    import numpy as np
+
+    k = np.arange(n)
+    w = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    return jnp.asarray(w.astype(np.complex64))
+
+
+def dft2(x: jax.Array) -> jax.Array:
+    """2D DFT over the last two axes via matmul.
+
+    Equivalent to jnp.fft.fft2 but lowered as two complex matmuls: this (a)
+    rides the MXU on TPU for the small image sizes used in losses, and (b)
+    sidesteps an XLA CPU fft-thunk layout RET_CHECK that fires when the SPMD
+    partitioner hands the FFT a non-major layout (hit by the multi-chip
+    dryrun on the host platform).
+    """
+    H, W = x.shape[-2], x.shape[-1]
+    fh = _dft_matrix(H)
+    fw = _dft_matrix(W)
+    x = x.astype(jnp.complex64)
+    return jnp.einsum("hk,...kw,wl->...hl", fh, x, fw)
+
+
 def constrain_learnable_wavelengths(raw: jax.Array) -> jax.Array:
     """Raw (3,) parameter -> physical wavelengths in [0.01, 0.5]."""
     return jnp.clip(jax.nn.softplus(raw), 0.01, 0.5)
@@ -49,8 +74,8 @@ def phase_retrieval_loss(
     e_iphi = jnp.exp(1j * phase.astype(jnp.complex64))
     r_amp = jnp.sqrt(jnp.maximum(rendered, 1e-8))
     t_amp = jnp.sqrt(jnp.maximum(target, 1e-8))
-    r_freq = jnp.fft.fft2(r_amp * e_iphi)
-    t_freq = jnp.fft.fft2(t_amp * e_iphi)
+    r_freq = dft2(r_amp * e_iphi)
+    t_freq = dft2(t_amp * e_iphi)
     return jnp.mean((jnp.abs(r_freq) - jnp.abs(t_freq)) ** 2)
 
 
@@ -71,8 +96,8 @@ def frequency_domain_loss(
 ) -> jax.Array:
     H, W = rendered.shape[-2:]
     low, high = _radial_masks(H, W, cutoff)
-    r_freq = jnp.fft.fft2(rendered)
-    t_freq = jnp.fft.fft2(target)
+    r_freq = dft2(rendered)
+    t_freq = dft2(target)
     low_loss = jnp.mean((jnp.abs(r_freq * low) - jnp.abs(t_freq * low)) ** 2)
     high_loss = jnp.mean((jnp.abs(r_freq * high) - jnp.abs(t_freq * high)) ** 2)
     return low_loss + high_weight * high_loss

@@ -16,9 +16,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.lru_cache(maxsize=8)
 def _gaussian_window(size: int, sigma: float):
-    # Host-side numpy so the cached window is a constant, never a tracer.
+    # Host-side numpy; converted at use site.  Deliberately NOT cached:
+    # caching a jnp constant created under an active trace leaks tracers.
     x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
     g = np.exp(-(x * x) / (2.0 * sigma * sigma))
     g = g / np.sum(g)

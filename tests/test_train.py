@@ -1,0 +1,180 @@
+"""Training harness tests (tiny synthetic runs on the CPU backend)."""
+
+import json
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from fresnel_tpu.train.config import (
+    TrainingConfig, PhysicsConfig, HFGSConfig, HFTSConfig)
+from fresnel_tpu.train.harness import Trainer, gumbel_topk_indices
+from fresnel_tpu.data.dataset import SyntheticGaussianDataset
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    return SyntheticGaussianDataset(
+        n_samples=4, image_size=32, n_gaussians=40, seed=1)
+
+
+def tiny_config(tmp_path, **kw):
+    defaults = dict(
+        experiment=2, epochs=1, batch_size=2, image_size=32,
+        gaussians_per_patch=1, output_dir=str(tmp_path), save_interval=1,
+        ssim_weight=0.5, lpips_weight=0.0, depth_weight=0.1)
+    defaults.update(kw)
+    return TrainingConfig(**defaults)
+
+
+class TestGumbelTopK:
+    def test_without_replacement(self):
+        rng = jax.random.PRNGKey(0)
+        w = jnp.ones(100)
+        idx = gumbel_topk_indices(rng, w, 50)
+        assert len(np.unique(np.asarray(idx))) == 50
+
+    def test_importance_biased(self):
+        rng = jax.random.PRNGKey(0)
+        w = jnp.concatenate([jnp.full((50,), 100.0), jnp.full((50,), 0.01)])
+        counts = 0
+        for i in range(20):
+            idx = gumbel_topk_indices(jax.random.fold_in(rng, i), w, 10)
+            counts += int(jnp.sum(idx < 50))
+        assert counts > 170  # overwhelmingly from the high-weight half
+
+
+class TestTrainer:
+    def test_one_epoch_decreases_or_finite(self, tiny_dataset, tmp_path):
+        cfg = tiny_config(tmp_path, epochs=2)
+        trainer = Trainer(cfg, PhysicsConfig(),
+                          HFGSConfig(use_phase_retrieval_loss=False,
+                                     use_frequency_loss=False,
+                                     learnable_wavelengths=False),
+                          HFTSConfig())
+        trainer.fit(tiny_dataset)
+        assert len(trainer.history["total"]) == 2
+        assert all(np.isfinite(v) for v in trainer.history["total"])
+        assert (tmp_path / "best_model.msgpack").exists()
+        assert (tmp_path / "loss_history.json").exists()
+        hist = json.loads((tmp_path / "loss_history.json").read_text())
+        assert "rgb" in hist
+
+    def test_checkpoint_roundtrip(self, tiny_dataset, tmp_path):
+        cfg = tiny_config(tmp_path)
+        trainer = Trainer(cfg, PhysicsConfig(),
+                          HFGSConfig(learnable_wavelengths=True),
+                          HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        state = trainer.init_state(batch)
+        trainer.save_checkpoint(tmp_path / "ck.msgpack", state, 0)
+        state2, epoch = trainer.load_checkpoint(tmp_path / "ck.msgpack", batch)
+        assert epoch == 0
+        # Learnable wavelengths are checkpointed (reference lost them).
+        np.testing.assert_allclose(
+            np.asarray(state["params"]["wavelengths_raw"]),
+            np.asarray(state2["params"]["wavelengths_raw"]))
+        l1 = jax.tree.leaves(state["params"])
+        l2 = jax.tree.leaves(state2["params"])
+        for a, b in zip(l1, l2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_step_updates_params(self, tiny_dataset, tmp_path):
+        cfg = tiny_config(tmp_path)
+        trainer = Trainer(cfg, PhysicsConfig(),
+                          HFGSConfig(use_phase_retrieval_loss=False,
+                                     use_frequency_loss=False,
+                                     learnable_wavelengths=False),
+                          HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        jb = jax.tree.map(jnp.asarray, batch)
+        state = trainer.init_state(batch)
+        before = jax.tree.leaves(state["params"])[0].copy()
+        step = trainer.get_step(1, None)
+        state2, ld = step(state, jb, jax.random.PRNGKey(1))
+        after = jax.tree.leaves(state2["params"])[0]
+        assert float(jnp.max(jnp.abs(after - before))) > 0
+        assert bool(jnp.isfinite(ld["total"]))
+
+    def test_multi_pose_step(self, tiny_dataset, tmp_path):
+        cfg = tiny_config(tmp_path, multi_pose_augmentation=True,
+                          use_pose_encoding=True)
+        trainer = Trainer(cfg, PhysicsConfig(),
+                          HFGSConfig(use_phase_retrieval_loss=False,
+                                     use_frequency_loss=False,
+                                     learnable_wavelengths=False),
+                          HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        jb = jax.tree.map(jnp.asarray, batch)
+        state = trainer.init_state(batch)
+        step = trainer.get_step(1, None)
+        state2, ld = step(state, jb, jax.random.PRNGKey(1))
+        assert bool(jnp.isfinite(ld["total"]))
+
+    def test_stochastic_k_step(self, tiny_dataset, tmp_path):
+        cfg = tiny_config(tmp_path)
+        trainer = Trainer(cfg, PhysicsConfig(),
+                          HFGSConfig(use_phase_retrieval_loss=False,
+                                     use_frequency_loss=False,
+                                     learnable_wavelengths=False),
+                          HFTSConfig(stochastic_k=100))
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        jb = jax.tree.map(jnp.asarray, batch)
+        state = trainer.init_state(batch)
+        step = trainer.get_step(1, 100)
+        state2, ld = step(state, jb, jax.random.PRNGKey(1))
+        assert bool(jnp.isfinite(ld["total"]))
+
+
+class TestDataParallel:
+    def test_mesh_sharded_training_step(self, tiny_dataset, tmp_path):
+        """Data-parallel step over the 8-virtual-device CPU mesh."""
+        from fresnel_tpu.parallel.mesh import get_mesh, shard_batch, replicate
+        if len(jax.devices()) < 2:
+            pytest.skip("needs multiple devices")
+        mesh = get_mesh(4)
+        cfg = tiny_config(tmp_path, batch_size=4)
+        trainer = Trainer(cfg, PhysicsConfig(),
+                          HFGSConfig(use_phase_retrieval_loss=False,
+                                     use_frequency_loss=False,
+                                     learnable_wavelengths=False),
+                          HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(4, rng)))
+        state = trainer.init_state(batch)
+        state = replicate(state, mesh)
+        jb = shard_batch(jax.tree.map(jnp.asarray, batch), mesh)
+        step = trainer.get_step(1, None)
+        state2, ld = step(state, jb, jax.random.PRNGKey(0))
+        assert bool(jnp.isfinite(ld["total"]))
+        # Result equals the single-device step (same math, psum-reduced).
+        state_s = trainer.init_state(batch)
+        state2_s, ld_s = step(state_s, jax.tree.map(jnp.asarray, batch),
+                              jax.random.PRNGKey(0))
+        np.testing.assert_allclose(float(ld["total"]), float(ld_s["total"]),
+                                   rtol=1e-4)
+
+
+class TestCLI:
+    def test_parser_flag_surface(self):
+        from fresnel_tpu.train.train_gaussian_decoder import build_parser
+        p = build_parser()
+        args = p.parse_args([
+            "--experiment", "2", "--use_fresnel_zones", "--use_edge_aware",
+            "--use_phase_blending", "--fast_mode", "--use_qsr",
+            "--stochastic_k", "128", "--pose_range_elevation", "-30", "45"])
+        assert args.use_fresnel_zones and args.use_edge_aware
+        assert args.use_phase_blending and args.fast_mode and args.use_qsr
+
+    def test_qsr_expansion(self):
+        from fresnel_tpu.train.train_gaussian_decoder import (
+            build_parser, configs_from_args)
+        args = build_parser().parse_args(["--use_qsr"])
+        config, physics, hfgs, hfts = configs_from_args(args)
+        assert config.use_phase_output
+        assert physics.use_wave_rendering
+        assert hfgs.use_phase_retrieval_loss
