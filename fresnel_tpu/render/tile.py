@@ -225,6 +225,10 @@ def render_tiled(
 
     proj = project_gaussians(positions, scales, rotations, camera,
                              max_radius=cfg.max_radius)
+    # Zero-opacity Gaussians (masked entries from static-shape pipelines like
+    # SAAG) contribute nothing — drop them from binning so they don't occupy
+    # per-tile capacity slots.
+    proj = dataclasses.replace(proj, visible=proj.visible & (opacities > 0.0))
     order = depth_sort_indices(proj)
 
     means2d = proj.means2d[order]
