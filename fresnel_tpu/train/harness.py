@@ -75,7 +75,10 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
         return FibonacciPatchDecoder(
             feature_dim=config.feature_dim,
             n_points=config.n_spiral_points,
+            use_fresnel_zones=config.use_fresnel_zones,
+            num_fresnel_zones=config.num_fresnel_zones,
             use_phase_output=config.use_phase_output,
+            use_pose_encoding=config.use_pose_encoding,
         )
     if config.experiment == 5:
         from fresnel_tpu.models.nca import NCAGaussianDecoder
@@ -89,9 +92,40 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
         from fresnel_tpu.models.saag_refine import SAAGRefinementNet
         return SAAGRefinementNet(feature_dim=config.feature_dim)
     if config.experiment == 3:
-        from fresnel_tpu.models.feature_guided import FeatureGuidedSAAG
+        from fresnel_tpu.models.saag_refine import FeatureGuidedSAAG
         return FeatureGuidedSAAG(feature_dim=config.feature_dim)
     raise ValueError(f"unknown experiment {config.experiment}")
+
+
+SAAG_SUBSAMPLE = 8  # depth subsample for in-loop SAAG priors (exp 1/3)
+
+
+def saag_prior_from_depth(depth: jax.Array, subsample: int = SAAG_SUBSAMPLE):
+    """(B, H, W) depth -> batched base-only SAAG cloud dict (B, N, ...).
+
+    Used as the geometric prior for experiments 1/3.  The reference trains
+    those experiments against a RANDOM dummy SAAG
+    (train_gaussian_decoder.py:1104-1151); we feed the real SAAG computed
+    from the batch depth — the architecturally intended input.
+    """
+    from fresnel_tpu.geometry.saag import (
+        AdaptiveDensityParams, SilhouetteWrapParams, SurfaceGaussianParams,
+        VolumetricShellParams, pointcloud_from_depth, to_surface_gaussians)
+
+    def one(d):
+        pc = pointcloud_from_depth(d, depth_scale=2.0,
+                                   subsample=subsample).normalize(3.0)
+        g = to_surface_gaussians(
+            pc, d, params=SurfaceGaussianParams(base_size=0.05),
+            wrap_params=SilhouetteWrapParams(enabled=False),
+            shell_params=VolumetricShellParams(enabled=False),
+            density_params=AdaptiveDensityParams(enabled=False))
+        return g
+
+    g = jax.vmap(one)(depth)
+    return {"saag_positions": g.positions, "saag_scales": g.scales,
+            "saag_rotations": g.rotations, "saag_colors": g.colors,
+            "saag_opacities": g.opacities}
 
 
 def gumbel_topk_indices(rng: jax.Array, weights: jax.Array, k: int) -> jax.Array:
@@ -144,10 +178,17 @@ class Trainer:
         feats = jnp.asarray(sample_batch["features"][:1])
         depth = jnp.asarray(sample_batch["depth"][:1])
         el = az = jnp.zeros((1,))
-        kwargs = {}
-        if self.config.use_pose_encoding or self.config.multi_pose_augmentation:
-            kwargs = dict(elevation=el, azimuth=az)
-        model_params = self.model.init(rng, feats, depth, **kwargs)
+        if self.config.experiment == 1:
+            saag = saag_prior_from_depth(depth)
+            model_params = self.model.init(rng, feats, **saag)
+        elif self.config.experiment == 3:
+            model_params = self.model.init(rng, feats)
+        else:
+            kwargs = {}
+            if (self.config.use_pose_encoding
+                    or self.config.multi_pose_augmentation):
+                kwargs = dict(elevation=el, azimuth=az)
+            model_params = self.model.init(rng, feats, depth, **kwargs)
         params = {"model": model_params}
         if self.hfgs_config.learnable_wavelengths:
             params["wavelengths_raw"] = init_learnable_wavelengths()
@@ -194,12 +235,34 @@ class Trainer:
             else:
                 el = az = jnp.zeros((B,))
 
-            kwargs: Dict[str, Any] = dict(num_gaussians=K)
-            if multi_pose or cfg.use_pose_encoding:
-                kwargs.update(elevation=el, azimuth=az)
-            out = model.apply(params["model"], feats, depth,
-                              deterministic=False,
-                              rngs={"dropout": rng_drop}, **kwargs)
+            rngs = {"dropout": rng_drop}
+            if cfg.experiment == 1:
+                saag = saag_prior_from_depth(depth)
+                out = model.apply(params["model"], feats, **saag,
+                                  deterministic=False, rngs=rngs)
+            elif cfg.experiment == 3:
+                saag = saag_prior_from_depth(depth)
+                mods = model.apply(params["model"], feats)
+                # Reference training applies the patch-mean modulations
+                # globally (train_gaussian_decoder.py:1140-1151).
+                size_m = jnp.mean(mods["base_size_mult"], axis=(1, 2))
+                op_m = jnp.mean(mods["opacity_mult"], axis=(1, 2))
+                out = {
+                    "positions": saag["saag_positions"],
+                    "scales": saag["saag_scales"] * size_m[:, None, None],
+                    "rotations": saag["saag_rotations"],
+                    "colors": saag["saag_colors"],
+                    "opacities": jnp.clip(
+                        saag["saag_opacities"] * op_m[:, None], 0.0, 1.0),
+                }
+            else:
+                kwargs: Dict[str, Any] = dict(num_gaussians=K)
+                if multi_pose or cfg.use_pose_encoding:
+                    kwargs.update(elevation=el, azimuth=az)
+                if cfg.experiment == 5:
+                    rngs["nca"] = jax.random.fold_in(rng_drop, 1)
+                out = model.apply(params["model"], feats, depth,
+                                  deterministic=False, rngs=rngs, **kwargs)
 
             phases = out.get("phases")
             pos, sc, rot = out["positions"], out["scales"], out["rotations"]
@@ -351,8 +414,10 @@ class Trainer:
         return state
 
     def _total_gaussians(self, K: int) -> int:
-        if self.config.experiment == 4:
+        if self.config.experiment in (4, 5):
             return self.config.n_spiral_points
+        if self.config.experiment in (1, 3):
+            return (256 // SAAG_SUBSAMPLE) ** 2  # SAAG prior point count
         return self.config.feature_size ** 2 * K
 
     # ------------------------------------------------------------------
