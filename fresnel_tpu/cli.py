@@ -1,0 +1,301 @@
+"""`fresnel` command-line interface.
+
+Subcommands (the TPU equivalents of the reference's binaries/scripts):
+  smoke   — device enumeration + compute roundtrip (reference: src/main.cpp)
+  infer   — single image -> 3D Gaussian cloud (.ply/.bin)
+            (reference: viewer load_image pipeline, SURVEY.md §3.2)
+  render  — render a cloud file to PNG from a chosen pose
+  orbit   — export an orbit of views (viewer substitute)
+  train   — delegates to fresnel_tpu.train.train_gaussian_decoder
+  eval    — novel-view evaluation of a checkpoint over a data dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def cmd_smoke(args) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    print("devices:")
+    for d in jax.devices():
+        print(f"  {d.platform}:{d.id} {d.device_kind}")
+    x = jnp.arange(1024, dtype=jnp.float32)
+    y = jax.jit(lambda v: v * 2.0)(x)
+    ok = bool(jnp.all(y == x * 2.0))
+    print(f"compute roundtrip (1024 elements x2): {'OK' if ok else 'FAILED'}")
+    big = jax.jit(lambda v: v * 2.0)(jnp.ones((1_000_000,), jnp.float32))
+    ok2 = bool(jnp.all(big == 2.0))
+    print(f"large dispatch (1M elements): {'OK' if ok2 else 'FAILED'}")
+    return 0 if ok and ok2 else 1
+
+
+def _load_image(path: str, size: int = 512):
+    import numpy as np
+    import jax.numpy as jnp
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+    return jnp.asarray(np.asarray(img, np.float32) / 255.0)
+
+
+def cmd_infer(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fresnel_tpu.core import io as gio
+    from fresnel_tpu.core.gaussians import GaussianCloud
+    from fresnel_tpu.models.encoders import (
+        PatchFeatureExtractor, gradient_depth_estimate)
+
+    t0 = time.perf_counter()
+    image = _load_image(args.image)
+    depth = gradient_depth_estimate(image, 256)
+
+    if args.saag or args.checkpoint is None and args.no_model:
+        from fresnel_tpu.geometry import (
+            SurfaceGaussianParams, pointcloud_from_depth, to_surface_gaussians)
+
+        pc = pointcloud_from_depth(
+            jax.image.resize(depth, (256, 256), "linear"),
+            color=jax.image.resize(image, (256, 256, 3), "linear"),
+            depth_scale=args.depth_scale).normalize(3.0)
+        cloud = to_surface_gaussians(
+            pc, depth, params=SurfaceGaussianParams(base_size=0.02),
+            opacity=args.opacity)
+    else:
+        extractor = PatchFeatureExtractor(grid=37, dim=384)
+        feats = extractor(image)[None]
+        from fresnel_tpu.models.decoders import DirectPatchDecoder
+
+        model = DirectPatchDecoder(gaussians_per_patch=args.gaussians_per_patch)
+        if args.checkpoint:
+            import flax.serialization as ser
+            from fresnel_tpu.train.config import TrainingConfig
+            from fresnel_tpu.train.harness import Trainer
+            from fresnel_tpu.train.config import (
+                HFGSConfig, HFTSConfig, PhysicsConfig)
+
+            meta_path = Path(args.checkpoint + ".json")
+            if meta_path.exists():
+                meta = json.loads(meta_path.read_text())
+                cfg = TrainingConfig(**meta["config"])
+                trainer = Trainer(cfg, PhysicsConfig(**meta["physics_config"]),
+                                  HFGSConfig(**meta["hfgs_config"]),
+                                  HFTSConfig(**meta["hfts_config"]))
+                batch = {"features": np.asarray(feats),
+                         "depth": np.asarray(depth)[None]}
+                state, _ = trainer.load_checkpoint(args.checkpoint, batch)
+                model = trainer.model
+                params = state["params"]["model"]
+            else:
+                print("checkpoint meta json missing; cannot reconstruct model",
+                      file=sys.stderr)
+                return 1
+        else:
+            params = model.init(jax.random.PRNGKey(0), feats, depth[None])
+            print("note: no checkpoint given — using randomly initialized "
+                  "decoder (pass --saag for the geometric pipeline)")
+        out = model.apply(params, feats, depth[None])
+        cloud = GaussianCloud(
+            positions=out["positions"][0], scales=out["scales"][0],
+            rotations=out["rotations"][0], colors=out["colors"][0],
+            opacities=out["opacities"][0])
+
+    jax.block_until_ready(cloud.positions)
+    dt = (time.perf_counter() - t0) * 1000
+
+    # Host-side compaction: drop masked (zero-opacity) entries from the
+    # static-shape pipeline before export.
+    op = np.asarray(cloud.opacities)
+    live = op > 1e-4
+    if live.sum() < live.size:
+        cloud = GaussianCloud(
+            positions=jnp.asarray(np.asarray(cloud.positions)[live]),
+            scales=jnp.asarray(np.asarray(cloud.scales)[live]),
+            rotations=jnp.asarray(np.asarray(cloud.rotations)[live]),
+            colors=jnp.asarray(np.asarray(cloud.colors)[live]),
+            opacities=jnp.asarray(op[live]))
+
+    out_path = Path(args.output)
+    if out_path.suffix == ".ply":
+        gio.save_ply(out_path, cloud)
+    else:
+        gio.save_binary(out_path, cloud)
+    print(f"{cloud.num_gaussians} gaussians -> {out_path}  ({dt:.0f} ms "
+          f"incl. compile)")
+    return 0
+
+
+def _load_cloud(path: str):
+    from fresnel_tpu.core import io as gio
+
+    if path.endswith(".ply"):
+        return gio.load_ply(path)
+    return gio.load_binary(path)
+
+
+def _save_png(img, path: str):
+    import numpy as np
+    from PIL import Image
+
+    arr = (np.asarray(img).transpose(1, 2, 0) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def cmd_render(args) -> int:
+    import numpy as np
+    from fresnel_tpu.core.camera import Camera
+    from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
+
+    cloud = _load_cloud(args.cloud)
+    cam = Camera.from_pose(np.radians(args.elevation), np.radians(args.azimuth),
+                           args.size, distance=args.distance)
+    img = render_tiled(cloud.positions, cloud.scales, cloud.rotations,
+                       cloud.colors, cloud.opacities, cam,
+                       config=TileRendererConfig(max_per_tile=args.max_per_tile))
+    _save_png(img, args.output)
+    print(f"rendered {cloud.num_gaussians} gaussians -> {args.output}")
+    return 0
+
+
+def cmd_orbit(args) -> int:
+    import numpy as np
+    from fresnel_tpu.evaluation.novel_view_eval import render_views
+
+    cloud = _load_cloud(args.cloud)
+    gaussians = {
+        "positions": cloud.positions, "scales": cloud.scales,
+        "rotations": cloud.rotations, "colors": cloud.colors,
+        "opacities": cloud.opacities}
+    azimuths = np.linspace(0, 360, args.views, endpoint=False)
+    views = render_views(gaussians, render_size=args.size,
+                         azimuths_deg=azimuths, elevation_deg=args.elevation,
+                         distance=args.distance)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    for az, v in zip(azimuths, views):
+        _save_png(v, str(out_dir / f"view_az{int(az):03d}.png"))
+    print(f"wrote {args.views} views to {out_dir}")
+    return 0
+
+
+def cmd_train(args, extra) -> int:
+    from fresnel_tpu.train.train_gaussian_decoder import main as train_main
+
+    train_main(extra)
+    return 0
+
+
+def cmd_eval(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+    from fresnel_tpu.data.dataset import SyntheticGaussianDataset, ImageDataset
+    from fresnel_tpu.evaluation.novel_view_eval import evaluate_novel_views
+    from fresnel_tpu.train.config import (
+        HFGSConfig, HFTSConfig, PhysicsConfig, TrainingConfig)
+    from fresnel_tpu.train.harness import Trainer
+
+    meta = json.loads(Path(args.checkpoint + ".json").read_text())
+    cfg = TrainingConfig(**meta["config"])
+    trainer = Trainer(cfg, PhysicsConfig(**meta["physics_config"]),
+                      HFGSConfig(**meta["hfgs_config"]),
+                      HFTSConfig(**meta["hfts_config"]))
+    if args.synthetic:
+        ds = SyntheticGaussianDataset(n_samples=args.max_images or 4,
+                                      image_size=cfg.image_size)
+    else:
+        ds = ImageDataset(args.data_dir or cfg.data_dir,
+                          image_size=cfg.image_size,
+                          use_augmentation=False,
+                          max_images=args.max_images)
+    rng = np.random.default_rng(0)
+    batch = next(iter(ds.batches(1, rng, shuffle=False)))
+    state, _ = trainer.load_checkpoint(args.checkpoint, batch)
+
+    samples = []
+    for batch in ds.batches(1, rng, shuffle=False):
+        feats = jnp.asarray(batch["features"])
+        depth = jnp.asarray(batch["depth"])
+        out = trainer.model.apply(state["params"]["model"], feats, depth)
+        samples.append({
+            "gaussians": {k: v[0] for k, v in out.items()
+                          if k in ("positions", "scales", "rotations",
+                                   "colors", "opacities")},
+            "target": batch["image"][0],
+        })
+        if args.max_images and len(samples) >= args.max_images:
+            break
+    results = evaluate_novel_views(samples, render_size=args.size,
+                                   output_json=args.output_json)
+    print(json.dumps(results, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="fresnel")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("smoke", help="device + compute smoke test")
+
+    p = sub.add_parser("infer", help="image -> 3D Gaussian cloud")
+    p.add_argument("image")
+    p.add_argument("output", help=".ply or .bin")
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--saag", action="store_true",
+                   help="use the geometric SAAG pipeline (no learned model)")
+    p.add_argument("--no_model", action="store_true")
+    p.add_argument("--gaussians_per_patch", type=int, default=4)
+    p.add_argument("--depth_scale", type=float, default=2.0)
+    p.add_argument("--opacity", type=float, default=0.8)
+
+    p = sub.add_parser("render", help="render a cloud file to PNG")
+    p.add_argument("cloud")
+    p.add_argument("output")
+    p.add_argument("--azimuth", type=float, default=0.0)
+    p.add_argument("--elevation", type=float, default=0.0)
+    p.add_argument("--distance", type=float, default=2.0)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--max_per_tile", type=int, default=512)
+
+    p = sub.add_parser("orbit", help="export an orbit of views")
+    p.add_argument("cloud")
+    p.add_argument("output_dir")
+    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--elevation", type=float, default=0.0)
+    p.add_argument("--distance", type=float, default=2.0)
+    p.add_argument("--size", type=int, default=256)
+
+    p = sub.add_parser("train", help="train a decoder (flags pass through)")
+
+    p = sub.add_parser("eval", help="novel-view evaluation of a checkpoint")
+    p.add_argument("checkpoint")
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--max_images", type=int, default=None)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--output_json", default=None)
+
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "train":
+        args = parser.parse_args(["train"])
+        return cmd_train(args, argv[1:])
+    args = parser.parse_args(argv)
+    return {
+        "smoke": cmd_smoke,
+        "infer": cmd_infer,
+        "render": cmd_render,
+        "orbit": cmd_orbit,
+        "eval": cmd_eval,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -59,8 +59,8 @@ def save_ply(path: Union[str, Path], cloud: GaussianCloud) -> None:
     out = flat.copy()
     out[:, 3:6] = np.log(np.maximum(flat[:, 3:6], 1e-7))           # log scales
     out[:, 10:13] = (flat[:, 10:13] - 0.5) / SH_C0                 # SH-DC color
-    op = flat[:, 13]
-    out[:, 13] = np.log(op / np.maximum(1.0 - op, 1e-7))           # logit opacity
+    op = np.clip(flat[:, 13], 1e-7, 1.0 - 1e-7)
+    out[:, 13] = np.log(op / (1.0 - op))                           # logit opacity
 
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
     header += [f"property float {p}" for p in _PLY_PROPS]

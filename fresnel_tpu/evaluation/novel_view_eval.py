@@ -1,0 +1,82 @@
+"""Novel-view evaluation: orbit cameras, per-view SSIM/coverage,
+view-consistency.
+
+Port of the reference evaluator semantics (reference:
+scripts/evaluation/novel_view_eval.py:30-290): 8 azimuth cameras around the
+subject, frontal SSIM vs target, per-view coverage = fraction of pixels with
+mean channel > 0.01, view_consistency = mean over samples of the std of
+coverage across angles (lower = better).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fresnel_tpu.core.camera import Camera
+from fresnel_tpu.evaluation.visual_eval import compute_psnr, compute_ssim
+from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
+
+DEFAULT_AZIMUTHS_DEG = (0, 45, 90, 135, 180, 225, 270, 315)
+
+
+def render_views(gaussians: Dict[str, jax.Array], render_size: int = 256,
+                 azimuths_deg: Sequence[float] = DEFAULT_AZIMUTHS_DEG,
+                 elevation_deg: float = 0.0, distance: float = 2.0,
+                 max_per_tile: int = 512) -> jnp.ndarray:
+    """Render (V, 3, S, S) orbit views of a Gaussian dict."""
+    cfg = TileRendererConfig(max_per_tile=max_per_tile)
+    views = []
+    for az in azimuths_deg:
+        cam = Camera.from_pose(np.radians(elevation_deg), np.radians(az),
+                               render_size, distance=distance)
+        views.append(render_tiled(
+            gaussians["positions"], gaussians["scales"],
+            gaussians["rotations"], gaussians["colors"],
+            gaussians["opacities"], cam, config=cfg))
+    return jnp.stack(views)
+
+
+def evaluate_novel_views(
+    samples: List[Dict],                 # each: {"gaussians": dict, "target": (3,S,S)}
+    render_size: int = 256,
+    azimuths_deg: Sequence[float] = DEFAULT_AZIMUTHS_DEG,
+    output_json: Optional[str] = None,
+) -> Dict:
+    """Returns {"per_view": {az: {...}}, "frontal_ssim", "view_consistency"}."""
+    per_view: Dict[str, List[float]] = {str(az): [] for az in azimuths_deg}
+    frontal_ssim, frontal_psnr = [], []
+    coverage_matrix = []                 # (samples, views)
+
+    for s in samples:
+        views = render_views(s["gaussians"], render_size, azimuths_deg)
+        coverages = [float(jnp.mean((jnp.mean(v, 0) > 0.01).astype(jnp.float32)))
+                     for v in views]
+        coverage_matrix.append(coverages)
+        for az, cov in zip(azimuths_deg, coverages):
+            per_view[str(az)].append(cov)
+        target = jnp.asarray(s["target"])
+        if target.shape[-1] != render_size:
+            target = jax.image.resize(target, (3, render_size, render_size),
+                                      "linear")
+        frontal_ssim.append(compute_ssim(views[0], target))
+        frontal_psnr.append(compute_psnr(views[0], target))
+
+    cov = np.asarray(coverage_matrix)
+    results = {
+        "per_view_coverage": {k: float(np.mean(v)) for k, v in per_view.items()},
+        "frontal_ssim": float(np.mean(frontal_ssim)),
+        "frontal_psnr": float(np.mean(frontal_psnr)),
+        "view_consistency": float(np.mean(np.std(cov, axis=1)))
+        if len(cov) else 0.0,
+        "num_samples": len(samples),
+    }
+    if output_json:
+        Path(output_json).parent.mkdir(parents=True, exist_ok=True)
+        Path(output_json).write_text(json.dumps(results, indent=2))
+    return results
