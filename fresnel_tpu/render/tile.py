@@ -47,48 +47,82 @@ class TileRendererConfig:
     phase_amplitude: float = 0.25
     hard_cutoff: bool = True     # zero alpha outside the 3-sigma box (matches
                                  # the reference's bbox-clipped evaluation)
+    backend: str = "xla"         # "xla" (scan compositor) | "pallas" (TPU
+                                 # kernel w/ analytic VJP; 16px tiles only,
+                                 # no phase blending)
+    pallas_interpret: bool = False  # interpreter mode (CPU testing)
+    tile_window: int = 5         # binning window (tiles per side) around each
+                                 # Gaussian's center tile; effective radius is
+                                 # clamped to (tile_window // 2) * tile_size
 
 
 def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
-                   max_per_tile):
+                   max_per_tile, tile_window: int = 5):
     """Per-tile compaction of depth-sorted Gaussian indices.
 
     Returns (tile_indices (T, M) int32, tile_valid (T, M) bool) where T is the
     tile count and entries are indices into the *sorted* Gaussian arrays, in
     depth order.  Overflow beyond M drops the farthest Gaussians (they are the
     most occluded).
+
+    TPU-shaped algorithm: XLA scatter throughput (~200M updates/s) makes the
+    dense (T, N) compaction the renderer bottleneck beyond ~10k Gaussians, so
+    the scatter is restricted to (Gaussian, tile-window) PAIRS — each Gaussian
+    can only hit the `tile_window`^2 tiles around its center (callers clamp
+    radii to (tile_window // 2) * tile_size to guarantee coverage):
+      1. dense hit mask + cumsum (vectorized compares, sub-ms) gives every
+         pair its depth-ordered slot;
+      2. one scatter of only N*window^2 indices builds the (T, M) table.
     """
     ts = float(tile_size)
+    T = n_tiles_x * n_tiles_y
+    n = means2d.shape[0]
+    M = max_per_tile
+    half = tile_window // 2
+
     tx = jnp.arange(n_tiles_x, dtype=jnp.float32) * ts          # tile x0
     ty = jnp.arange(n_tiles_y, dtype=jnp.float32) * ts
     x0 = jnp.tile(tx, n_tiles_y)                                 # (T,)
     y0 = jnp.repeat(ty, n_tiles_x)
 
-    u = means2d[:, 0][None, :]                                   # (1, N)
-    v = means2d[:, 1][None, :]
-    r = radii[None, :]
-    hit = (u + r >= x0[:, None]) & (u - r < (x0 + ts)[:, None])
-    hit &= (v + r >= y0[:, None]) & (v - r < (y0 + ts)[:, None])
-    hit &= visible[None, :]                                      # (T, N)
+    u = means2d[:, 0]
+    v = means2d[:, 1]
+    r = radii
 
-    count = jnp.sum(hit, axis=1)
-    # Per-row compaction WITHOUT a sort: the slot of Gaussian j in tile t is
-    # its exclusive running count of hits, scattered with out-of-capacity
-    # hits dropped.  O(T*N) cumsum+scatter — a (T, N) argsort is a per-row
-    # O(N log^2 N) TPU sort and dominates runtime beyond ~10k Gaussians.
-    n = hit.shape[1]
-    T = hit.shape[0]
-    slot = jnp.cumsum(hit, axis=1, dtype=jnp.int32) - 1          # (T, N)
-    slot = jnp.where(hit & (slot < max_per_tile), slot, max_per_tile)
-    j_idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[None, :], (T, n))
-    tile_indices = jnp.zeros((T, max_per_tile + 1), jnp.int32)
-    tile_indices = tile_indices.at[
-        jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None], (T, n)),
-        slot,
-    ].set(j_idx, mode="drop")[:, :max_per_tile]
+    hit = (u[None] + r[None] >= x0[:, None]) & (u[None] - r[None] < (x0 + ts)[:, None])
+    hit &= (v[None] + r[None] >= y0[:, None]) & (v[None] - r[None] < (y0 + ts)[:, None])
+    hit &= visible[None, :]                                      # (T, N)
+    C = jnp.cumsum(hit, axis=1, dtype=jnp.int32)
+
+    # Window pairs around each Gaussian's center tile.
+    offs_y, offs_x = jnp.meshgrid(
+        jnp.arange(tile_window, dtype=jnp.int32) - half,
+        jnp.arange(tile_window, dtype=jnp.int32) - half, indexing="ij")
+    offs_x = offs_x.reshape(-1)                                  # (K,)
+    offs_y = offs_y.reshape(-1)
+    cx = jnp.clip((u // ts).astype(jnp.int32), 0, n_tiles_x - 1)
+    cy = jnp.clip((v // ts).astype(jnp.int32), 0, n_tiles_y - 1)
+    txp = cx[:, None] + offs_x[None, :]                          # (N, K)
+    typ = cy[:, None] + offs_y[None, :]
+    inb = (txp >= 0) & (txp < n_tiles_x) & (typ >= 0) & (typ < n_tiles_y)
+    t_lin = jnp.where(inb, typ * n_tiles_x + txp, 0)
+
+    px0 = txp.astype(jnp.float32) * ts
+    py0 = typ.astype(jnp.float32) * ts
+    ov = ((u[:, None] + r[:, None] >= px0) & (u[:, None] - r[:, None] < px0 + ts)
+          & (v[:, None] + r[:, None] >= py0) & (v[:, None] - r[:, None] < py0 + ts)
+          & inb & visible[:, None])
+
+    j_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                             (n, offs_x.shape[0]))
+    slot = jnp.where(ov, C[t_lin, j_idx] - 1, M)
+    slot = jnp.minimum(slot, M)                                  # overflow -> trash
+    tile_indices = jnp.zeros((T, M + 1), jnp.int32)
+    tile_indices = tile_indices.at[t_lin, slot].set(
+        j_idx, mode="drop")[:, :M]
+    count = jnp.minimum(C[:, -1], M)
     tile_valid = (
-        jnp.arange(max_per_tile, dtype=jnp.int32)[None, :] < count[:, None]
+        jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
     )
     return tile_indices, tile_valid
 
@@ -230,8 +264,11 @@ def render_tiled(
     P = ts * ts
     bg = jnp.asarray(background, jnp.float32)
 
+    # The pair-window binning only covers tiles within (tile_window//2)
+    # of a Gaussian's center tile — clamp radii to match.
+    eff_max_radius = min(cfg.max_radius, (cfg.tile_window // 2) * ts)
     proj = project_gaussians(positions, scales, rotations, camera,
-                             max_radius=cfg.max_radius)
+                             max_radius=eff_max_radius)
     # Zero-opacity Gaussians (masked entries from static-shape pipelines like
     # SAAG) contribute nothing — drop them from binning so they don't occupy
     # per-tile capacity slots.
@@ -254,7 +291,8 @@ def render_tiled(
     m_cap = -(-m_cap // cfg.chunk) * cfg.chunk
 
     tile_idx, tile_valid = _bin_gaussians(
-        means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap)
+        means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
+        tile_window=cfg.tile_window)
 
     g_mean = means2d[tile_idx]        # (T, M, 2)
     g_conic = conic[tile_idx]
@@ -277,9 +315,15 @@ def render_tiled(
     px = x0 + lx                      # (T, P)
     py = y0 + ly
 
-    acc_c, acc_d, Tr = _composite_tiles(
-        px, py, g_mean, g_conic, g_color, g_op, g_depth, g_radius,
-        tile_valid, cfg, g_phase=g_phase)
+    if cfg.backend == "pallas" and g_phase is None and ts == 16:
+        from fresnel_tpu.render.pallas_raster import composite_tiles_pallas
+        acc_c, acc_d, Tr = composite_tiles_pallas(
+            px, py, g_mean, g_conic, g_color, g_op, g_depth, g_radius,
+            tile_valid, n_tiles_x, interpret=cfg.pallas_interpret)
+    else:
+        acc_c, acc_d, Tr = _composite_tiles(
+            px, py, g_mean, g_conic, g_color, g_op, g_depth, g_radius,
+            tile_valid, cfg, g_phase=g_phase)
 
     acc_c = acc_c + Tr[..., None] * bg
 
