@@ -1,0 +1,335 @@
+"""CVS trainer: consistency training for one-step novel-view synthesis.
+
+TPU rebuild of the reference trainer (reference: scripts/training/train_cvs.py,
+models/consistency_view_synthesis.py:844-961):
+  * ConsistencyLoss: L1 reconstruction + random-conv perceptual (the
+    reference's perceptual_net is an UNTRAINED conv stack — parity kept) +
+    EMA self-consistency (f(x_t) ≈ f_ema(x_{t-1}) via one Euler step);
+  * EMA via optax.incremental_update;
+  * progressive consistency-weight ramp (quality-aware schedule,
+    reference: models/quality_aware_losses.py:107-151);
+  * GaussianBootstrapDataset equivalent: orbit renders of random Gaussian
+    clouds through the tiled rasterizer (the reference bootstraps from
+    decoder outputs — garbage-in-garbage-out per experiment 001; synthetic
+    clouds give clean geometry-consistent pairs).
+
+Run:  python -m fresnel_tpu.train.train_cvs --synthetic --epochs 2 --image_size 64
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from pathlib import Path
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class GaussianBootstrapDataset:
+    """Synthetic multi-view pairs: (input view, features, relative pose,
+    target view) rendered from random Gaussian clouds."""
+
+    def __init__(self, n_scenes: int = 8, views_per_scene: int = 4,
+                 image_size: int = 64, n_gaussians: int = 120, seed: int = 0,
+                 feature_dim: int = 384):
+        import jax.numpy as jnp
+        from fresnel_tpu.core.camera import Camera
+        from fresnel_tpu.core.gaussians import GaussianCloud
+        from fresnel_tpu.models.encoders import create_feature_extractor
+        from fresnel_tpu.render.tile import render_tiled
+
+        self.image_size = image_size
+        rng = np.random.default_rng(seed)
+        extractor = create_feature_extractor(dim=feature_dim)
+        self._samples = []
+        for s in range(n_scenes):
+            cloud = GaussianCloud.test_cloud(
+                n_gaussians, seed=seed * 997 + s, spread=0.45, z_offset=0.0,
+                scale=0.1)
+            poses = [(0.0, 0.0)] + [
+                (rng.uniform(-0.4, 0.6), rng.uniform(0, 2 * np.pi))
+                for _ in range(views_per_scene - 1)]
+            views, mats = [], []
+            for el, az in poses:
+                cam = Camera.from_pose(el, az, image_size, distance=2.0)
+                img = render_tiled(cloud.positions, cloud.scales,
+                                   cloud.rotations, cloud.colors,
+                                   cloud.opacities, cam)
+                views.append(np.asarray(img))
+                R = np.asarray(cam.view[:3, :3])
+                t = np.asarray(cam.view[:3, 3])
+                mats.append((R, t))
+            feats = np.asarray(extractor(
+                jnp.asarray(np.transpose(views[0], (1, 2, 0)))))
+            for i in range(1, views_per_scene):
+                R_rel = mats[i][0] @ mats[0][0].T
+                t_rel = mats[i][1] - R_rel @ mats[0][1]
+                self._samples.append({
+                    "input_image": views[0],
+                    "features": feats,
+                    "R_rel": R_rel.astype(np.float32),
+                    "t_rel": t_rel.astype(np.float32),
+                    "target_image": views[i],
+                })
+
+    def __len__(self):
+        return len(self._samples)
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self._samples))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            keys = self._samples[0].keys()
+            yield {k: np.stack([self._samples[j][k] for j in idx])
+                   for k in keys}
+
+
+@dataclasses.dataclass
+class CVSTrainConfig:
+    output_dir: str = "checkpoints_cvs"
+    epochs: int = 50
+    batch_size: int = 2
+    lr: float = 1e-4
+    image_size: int = 64
+    base_channels: int = 64
+    lambda_consistency: float = 1.0
+    lambda_reconstruction: float = 1.0
+    lambda_perceptual: float = 0.5
+    consistency_ramp_epochs: int = 10   # progressive consistency weight ramp
+    ema_decay: float = 0.9999
+    save_interval: int = 10
+    seed: int = 0
+
+
+class CVSTrainer:
+    def __init__(self, cfg: CVSTrainConfig):
+        from fresnel_tpu.models.cvs import CVSConfig, ConsistencyViewSynthesizer
+        import flax.linen as nn
+        import optax
+
+        self.cfg = cfg
+        self.model_config = CVSConfig(
+            image_size=cfg.image_size, base_channels=cfg.base_channels,
+            ema_decay=cfg.ema_decay)
+        self.model = ConsistencyViewSynthesizer(self.model_config)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(1.0), optax.adamw(cfg.lr))
+        self._perceptual = None
+        self._step_fn = None
+        self.history: Dict[str, list] = {}
+
+    def _perceptual_net(self):
+        """Untrained conv feature stack (reference parity)."""
+        import flax.linen as nn
+
+        class Perceptual(nn.Module):
+            @nn.compact
+            def __call__(self, x):          # (B, 3, H, W)
+                x = x.transpose(0, 2, 3, 1)
+                x = nn.relu(nn.Conv(64, (3, 3), padding="SAME")(x))
+                x = nn.relu(nn.Conv(64, (3, 3), padding="SAME")(x))
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = nn.relu(nn.Conv(128, (3, 3), padding="SAME")(x))
+                x = nn.relu(nn.Conv(128, (3, 3), padding="SAME")(x))
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                x = nn.relu(nn.Conv(256, (3, 3), padding="SAME")(x))
+                return x
+
+        return Perceptual()
+
+    def init_state(self, batch):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        B = 1
+        S = cfg.image_size
+        ii = jnp.asarray(batch["input_image"][:1])
+        ft = jnp.asarray(batch["features"][:1])
+        Rr = jnp.asarray(batch["R_rel"][:1])
+        tr = jnp.asarray(batch["t_rel"][:1])
+        ti = jnp.asarray(batch["target_image"][:1])
+        params = self.model.init(
+            rng, ii, ft, Rr, tr, target_image=ti,
+            timestep=jnp.zeros((B,), jnp.int32),
+            noise=jnp.zeros((B, 3, S, S)))
+        perc = self._perceptual_net()
+        perc_params = perc.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, 3, S, S)))
+        self._perc_apply = perc.apply
+        opt_state = self.optimizer.init(params)
+        return {"params": params, "ema_params": params,
+                "opt_state": opt_state, "perc_params": perc_params,
+                "step": jnp.zeros((), jnp.int32)}
+
+    def _build_step(self):
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        cfg = self.cfg
+        model = self.model
+        optimizer = self.optimizer
+        perc_apply = self._perc_apply
+        nt = self.model_config.num_timesteps
+
+        def loss_fn(params, ema_params, perc_params, batch, rng,
+                    consistency_weight):
+            B = batch["input_image"].shape[0]
+            r1, r2 = jax.random.split(rng)
+            timestep = jax.random.randint(r1, (B,), 0, nt)
+            noise = jax.random.normal(
+                r2, batch["target_image"].shape, jnp.float32)
+            out = model.apply(
+                params, batch["input_image"], batch["features"],
+                batch["R_rel"], batch["t_rel"],
+                target_image=batch["target_image"],
+                timestep=timestep, noise=noise, deterministic=False)
+
+            ld = {}
+            l1 = jnp.mean(jnp.abs(out["x0_pred"] - out["target"]))
+            ld["l1"] = l1 * cfg.lambda_reconstruction
+            pf = perc_apply(perc_params, out["x0_pred"])
+            tf = perc_apply(perc_params, out["target"])
+            ld["perceptual"] = jnp.mean(jnp.abs(pf - tf)) * cfg.lambda_perceptual
+
+            # Consistency: EMA prediction at the adjacent (earlier) timestep.
+            sch = model.apply(params, method=model.schedule)
+            t_prev = jnp.maximum(timestep - 1, 0)
+            a_t = sch["sqrt_alphas_cumprod"][timestep][:, None, None, None]
+            a_p = sch["sqrt_alphas_cumprod"][t_prev][:, None, None, None]
+            x_t_prev = jnp.clip(
+                a_p * out["x0_pred"]
+                + (1 - a_p) / (1 - a_t + 1e-8) * (out["noisy"] - a_t * out["x0_pred"]),
+                -1.0, 1.0)
+            ema_out = model.apply(
+                ema_params, batch["input_image"], batch["features"],
+                batch["R_rel"], batch["t_rel"],
+                target_image=x_t_prev, timestep=t_prev,
+                noise=jnp.zeros_like(noise))
+            # ema x0 prediction is on the CLEAN path: unet(x_t_prev, t_prev)
+            x0_ema = jax.lax.stop_gradient(ema_out["x0_pred"])
+            ld["consistency"] = (jnp.mean((out["x0_pred"] - x0_ema) ** 2)
+                                 * cfg.lambda_consistency * consistency_weight)
+
+            total = ld["l1"] + ld["perceptual"] + ld["consistency"]
+            ld["total"] = total
+            return total, ld
+
+        def step(state, batch, rng, consistency_weight):
+            (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], state["ema_params"], state["perc_params"],
+                batch, rng, consistency_weight)
+            finite = jnp.isfinite(loss)
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+            updates, new_opt = optimizer.update(
+                grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            new_params = jax.tree.map(
+                lambda n, o: jnp.where(finite, n, o),
+                new_params, state["params"])
+            new_ema = optax.incremental_update(
+                new_params, state["ema_params"], 1.0 - cfg.ema_decay)
+            return ({"params": new_params, "ema_params": new_ema,
+                     "opt_state": new_opt, "perc_params": state["perc_params"],
+                     "step": state["step"] + 1}, ld)
+
+        # No buffer donation: triggered an INVALID_ARGUMENT on the current
+        # libtpu with this program's aliasing pattern.
+        return jax.jit(step)
+
+    def fit(self, dataset, epochs: Optional[int] = None, state=None,
+            log_fn=print):
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        epochs = epochs or cfg.epochs
+        nprng = np.random.default_rng(cfg.seed)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        first = next(iter(dataset.batches(cfg.batch_size, nprng)))
+        if state is None:
+            state = self.init_state(first)
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+
+        out_dir = Path(cfg.output_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for epoch in range(epochs):
+            # Progressive consistency-weight ramp.
+            cw = min(1.0, (epoch + 1) / max(cfg.consistency_ramp_epochs, 1))
+            t0 = time.perf_counter()
+            losses: Dict[str, list] = {}
+            for batch in dataset.batches(cfg.batch_size, nprng):
+                jb = jax.tree.map(jnp.asarray, batch)
+                rng, srng = jax.random.split(rng)
+                state, ld = self._step_fn(state, jb, srng, jnp.float32(cw))
+                for k, v in ld.items():
+                    losses.setdefault(k, []).append(v)
+            means = {k: float(jnp.mean(jnp.stack(v)))
+                     for k, v in losses.items()}
+            for k, v in means.items():
+                self.history.setdefault(k, []).append(v)
+            log_fn(f"epoch {epoch + 1}/{epochs} cw={cw:.2f} "
+                   f"total={means['total']:.4f} l1={means['l1']:.4f} "
+                   f"cons={means['consistency']:.4f} "
+                   f"({time.perf_counter() - t0:.1f}s)")
+            if (epoch + 1) % cfg.save_interval == 0:
+                self.save_checkpoint(out_dir / "cvs.msgpack", state, epoch)
+        self.save_checkpoint(out_dir / "cvs_final.msgpack", state, epochs - 1)
+        (out_dir / "loss_history.json").write_text(json.dumps(self.history))
+        return state
+
+    def save_checkpoint(self, path, state, epoch):
+        import flax.serialization as ser
+
+        Path(path).write_bytes(ser.to_bytes(state))
+        Path(str(path) + ".json").write_text(json.dumps(
+            {"epoch": epoch, "config": dataclasses.asdict(self.cfg)}))
+
+    def generate(self, state, features, R_rel, t_rel, rng, num_steps=1):
+        import jax
+        import jax.numpy as jnp
+
+        B = features.shape[0]
+        S = self.cfg.image_size
+        noise = jax.random.normal(rng, (B, 3, S, S))
+        return self.model.apply(
+            state["ema_params"], features, R_rel, t_rel, noise,
+            num_steps, method=self.model.generate)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="CVS consistency training (TPU)")
+    p.add_argument("--output_dir", default="checkpoints_cvs")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--base_channels", type=int, default=64)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--n_scenes", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = CVSTrainConfig(
+        output_dir=args.output_dir, epochs=args.epochs,
+        batch_size=args.batch_size, lr=args.lr, image_size=args.image_size,
+        base_channels=args.base_channels, seed=args.seed)
+    dataset = GaussianBootstrapDataset(
+        n_scenes=args.n_scenes, image_size=cfg.image_size, seed=cfg.seed)
+    print(f"dataset: {len(dataset)} view pairs")
+    CVSTrainer(cfg).fit(dataset)
+    print("cvs training complete")
+
+
+if __name__ == "__main__":
+    main()
