@@ -43,13 +43,19 @@ def _to_numpy_flat(cloud: GaussianCloud) -> np.ndarray:
 
 
 def save_binary(path: Union[str, Path], cloud: GaussianCloud) -> None:
-    _to_numpy_flat(cloud).tofile(str(path))
+    flat = _to_numpy_flat(cloud)
+    from fresnel_tpu import native
+    if not native.save_gaussians(str(path), flat):
+        flat.tofile(str(path))
 
 
 def load_binary(path: Union[str, Path]) -> GaussianCloud:
-    data = np.fromfile(str(path), dtype=np.float32)
-    n = len(data) // 14
-    flat = data[: n * 14].reshape(n, 14)
+    from fresnel_tpu import native
+    flat = native.load_gaussians(str(path))
+    if flat is None:
+        data = np.fromfile(str(path), dtype=np.float32)
+        n = len(data) // 14
+        flat = data[: n * 14].reshape(n, 14)
     return GaussianCloud.from_flat(jnp.asarray(flat))
 
 
@@ -61,6 +67,11 @@ def save_ply(path: Union[str, Path], cloud: GaussianCloud) -> None:
     out[:, 10:13] = (flat[:, 10:13] - 0.5) / SH_C0                 # SH-DC color
     op = np.clip(flat[:, 13], 1e-7, 1.0 - 1e-7)
     out[:, 13] = np.log(op / (1.0 - op))                           # logit opacity
+
+    # Fast path: the native writer produces byte-identical files.
+    from fresnel_tpu import native
+    if native.save_ply(str(path), flat):
+        return
 
     header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
     header += [f"property float {p}" for p in _PLY_PROPS]
