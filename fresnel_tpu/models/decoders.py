@@ -43,7 +43,9 @@ def _resize_depth_to_grid(depth: jax.Array, h: int, w: int) -> jax.Array:
     if depth.ndim == 4:
         depth = depth[..., 0]
     B = depth.shape[0]
-    return jax.image.resize(depth, (B, h, w), method="linear")
+    # antialias=False: parity with the reference's F.interpolate(bilinear)
+    return jax.image.resize(depth, (B, h, w), method="linear",
+                            antialias=False)
 
 
 class DirectPatchDecoder(nn.Module):
