@@ -187,6 +187,15 @@ def cmd_orbit(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    from fresnel_tpu.viewer.html_viewer import export_html
+
+    cloud = _load_cloud(args.cloud)
+    n = export_html(cloud, args.output, args.max_gaussians, args.distance)
+    print(f"viewer with {n} gaussians -> {args.output}")
+    return 0
+
+
 def cmd_train(args, extra) -> int:
     from fresnel_tpu.train.train_gaussian_decoder import main as train_main
 
@@ -273,6 +282,12 @@ def main(argv=None) -> int:
     p.add_argument("--distance", type=float, default=2.0)
     p.add_argument("--size", type=int, default=256)
 
+    p = sub.add_parser("view", help="export an interactive HTML splat viewer")
+    p.add_argument("cloud")
+    p.add_argument("output")
+    p.add_argument("--max_gaussians", type=int, default=30000)
+    p.add_argument("--distance", type=float, default=2.0)
+
     p = sub.add_parser("train", help="train a decoder (flags pass through)")
 
     p = sub.add_parser("eval", help="novel-view evaluation of a checkpoint")
@@ -294,6 +309,7 @@ def main(argv=None) -> int:
         "render": cmd_render,
         "orbit": cmd_orbit,
         "eval": cmd_eval,
+        "view": cmd_view,
     }[args.command](args)
 
 

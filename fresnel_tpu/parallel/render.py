@@ -1,0 +1,77 @@
+"""Multi-device rendering (SURVEY.md §2.6 consequences b/c).
+
+Two sharded render paths, both demonstrated over a jax.sharding.Mesh:
+  * render_batch_sharded — one image per device: the batch axis of the
+    Gaussian arrays is sharded over "data"; rendering is embarrassingly
+    parallel (no collectives).
+  * render_gaussian_sharded — a single huge cloud sharded along the GAUSSIAN
+    axis.  Tile compositing is order-dependent, but the over-operator is
+    ASSOCIATIVE on (premultiplied color, transmittance) pairs:
+        (c1, T1) ⊕ (c2, T2) = (c1 + T1·c2, T1·T2)
+    so each device composites its depth-contiguous shard locally and shards
+    are combined front-to-back — an O(log D) tree combine expressed here as
+    an all_gather of per-shard (color, T) partials plus the tiny sequential
+    fold.  The caller must pass the cloud pre-sorted by depth so shards are
+    depth-contiguous.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fresnel_tpu.core.camera import Camera
+from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
+
+
+def render_batch_sharded(positions, scales, rotations, colors, opacities,
+                         camera: Camera, mesh: Mesh,
+                         config: TileRendererConfig = TileRendererConfig()):
+    """(B, N, ...) Gaussian batches -> (B, 3, H, W), batch sharded on "data"."""
+    def one_shard(p, s, r, c, o):
+        return jax.vmap(
+            lambda pp, ss, rr, cc, oo: render_tiled(
+                pp, ss, rr, cc, oo, camera, config=config)
+        )(p, s, r, c, o)
+
+    f = shard_map(one_shard, mesh=mesh, in_specs=(P("data"),) * 5,
+                  out_specs=P("data"), check_rep=False)
+    return jax.jit(f)(positions, scales, rotations, colors, opacities)
+
+
+def render_gaussian_sharded(positions, scales, rotations, colors, opacities,
+                            camera: Camera, mesh: Mesh,
+                            config: TileRendererConfig = TileRendererConfig(),
+                            background: Tuple[float, float, float] = (0, 0, 0)):
+    """One cloud, Gaussian axis sharded over "data"; cloud must be pre-sorted
+    front-to-back so each shard is a depth-contiguous slab."""
+    n_dev = mesh.devices.size
+
+    def one_shard(p, s, r, c, o):
+        # Local compositing of this depth-slab against a black background.
+        img = render_tiled(p, s, r, c, o, camera, background=(0.0, 0.0, 0.0),
+                           config=config)
+        # Recover the slab transmittance from the alpha identity:
+        # render(bg=1) = color + T, so T = render_bg1 - render_bg0.
+        img_bg1 = render_tiled(p, s, r, c, o, camera,
+                               background=(1.0, 1.0, 1.0), config=config)
+        T = jnp.clip(img_bg1 - img, 0.0, 1.0)         # (3, H, W)
+        return jnp.stack([img, T])[None]               # (1, 2, 3, H, W)
+
+    f = shard_map(one_shard, mesh=mesh, in_specs=(P("data"),) * 5,
+                  out_specs=P("data"), check_rep=False)
+    parts = jax.jit(f)(positions, scales, rotations, colors, opacities)
+    # parts: (D, 2, 3, H, W) — one (color, T) partial per depth slab.
+
+    # Sequential front-to-back fold over the D slab partials (D is small).
+    color = parts[0, 0]
+    T = parts[0, 1]
+    for d in range(1, n_dev):
+        color = color + T * parts[d, 0]
+        T = T * parts[d, 1]
+    bg = jnp.asarray(background, jnp.float32)
+    return jnp.clip(color + T * bg[:, None, None], 0.0, 1.0)
