@@ -13,30 +13,28 @@ Kernel geometry
   * Tiles are 16x16 px; each kernel instance composites a GROUP of 8 tiles
     laid side by side so the working set is a full (16, 128) VPU tile —
     stripe b (columns 16b:16b+16) belongs to tile `GROUP*g + b`.
-  * Per-Gaussian parameters are broadcast to their stripe with a one-hot
-    (128, 8) HIGHEST-precision matmul (an MXU gather).
-  * The grid is 2D (tile-group, gaussian-chunk): chunk blocks of
-    CHUNK*PACK pre-flattened floats stream through VMEM (Mosaic pipelines
-    them) while accumulators/transmittance live in scratch that persists
-    across the sequential chunk axis.  This keeps scoped VMEM in the tens
-    of KB regardless of per-tile capacity.
+  * The grid is 2D (tile-group, gaussian-chunk): CHUNK Gaussians stream per
+    step while accumulators/transmittance persist in VMEM scratch across the
+    sequential chunk axis.
+  * Per-Gaussian parameters are broadcast to their stripes with ONE one-hot
+    (128, 8) HIGHEST-precision matmul per chunk; the pack layout is
+    FIELD-MAJOR (columns f*CHUNK + c) so each field slices out as a
+    contiguous (128, CHUNK) block.
+  * The chunk dimension is VECTORIZED, not unrolled: compositing uses the
+    exclusive-cumprod transmittance identity over (CHUNK, 16, 128) tensors
+    (Mosaic does not reuse stack slots across unrolled iterations — an
+    unrolled chunk loop blew scoped VMEM linearly in CHUNK and ran 9x slower
+    than XLA; see experiments/README.md T-003).
 
 Backward math (recompute-based; residuals = binned inputs + forward outputs):
-walk front-to-back again keeping
-  T_i = transmittance before Gaussian i
-  S_i = suffix premultiplied color  sum_{j>=i} contrib_j c_j  (init: tile total)
-then
-  dC/dalpha_i     = T_i c_i - S_{i+1}/(1-alpha_i)
-  dT_fin/dalpha_i = -T_fin/(1-alpha_i)   (T_fin comes from the forward output)
-chains into means/conic/color/opacity/depth.  Binning gathers stay in XLA,
-so their transpose (scatter-add back to per-Gaussian grads) composes
+with T_i = transmittance before Gaussian i and S_i = suffix premultiplied
+color Σ_{j>=i} contrib_j c_j (computed from the tile total via an inclusive
+cumsum),
+  dC/dα_i     = T_i c_i − S_{i+1}/(1−α_i)
+  dT_fin/dα_i = −T_fin/(1−α_i)          (T_fin comes from the forward output)
+then chains into means/conic/color/opacity/depth.  Binning gathers stay in
+XLA, so their transpose (scatter-add back to per-Gaussian grads) composes
 automatically around this custom_vjp.
-
-PERFORMANCE STATUS (v5e, 20k Gaussians @ 512^2, M=512/tile): the XLA scan
-compositor runs 29 ms fwd / 109 ms grad; this kernel is currently ~9x slower
-(~62 us/grid-step overhead not explained by its VPU op count) and therefore
-NOT the default backend.  It is kept as the analytic-VJP reference and the
-target for further Mosaic-level optimization.
 """
 
 from __future__ import annotations
@@ -52,10 +50,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 TS = 16          # tile side (pixels)
 GROUP = 8        # tiles composited per kernel instance -> (16, 128) lanes
-CHUNK = 16       # Gaussians per grid step along the chunk axis
+CHUNK = 64       # Gaussians per grid step (vectorized, not unrolled)
 ALPHA_MAX = 0.99
 
-# Packed per-Gaussian layout (12 floats):
+# Packed per-Gaussian field order (field-major within a chunk):
 #   0 mx, 1 my, 2 conic_a, 3 conic_b, 4 conic_c, 5 radius,
 #   6 R, 7 G, 8 B, 9 opacity, 10 depth, 11 pad
 PACK = 12
@@ -82,29 +80,54 @@ def _pixel_coords(gid, n_tiles_x: int):
     return px, py
 
 
-def _broadcast_chunk(onehot, rows):
-    """(GROUP, CHUNK*PACK) rows -> (128, CHUNK*PACK) per-column params."""
-    return jax.lax.dot(onehot, rows,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+def _fields(gauss_ref, onehot):
+    """Load + broadcast one chunk: returns dict of (CHUNK, 1, 128) per-field
+    column tensors ready to broadcast against (16, 128) pixel maps."""
+    rows = gauss_ref[0, 0]                                  # (8, PACK*CHUNK)
+    V = jax.lax.dot(onehot, rows,
+                    precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)     # (128, PACK*CHUNK)
+    out = {}
+    names = ["mx", "my", "ca", "cb", "cc", "rr",
+             "cR", "cG", "cB", "op", "dep", "pad"]
+    for f, name in enumerate(names):
+        blk = V[:, f * CHUNK:(f + 1) * CHUNK]               # (128, CHUNK)
+        out[name] = blk.T[:, None, :]                       # (CHUNK, 1, 128)
+    return out
 
 
-def _alpha_terms(v, px, py):
-    """Shared forward math for one Gaussian slice v (128, PACK):
-    returns (e, alpha_raw, alpha, dx, dy) as (16, 128) maps."""
-    mx = v[:, 0][None, :]
-    my = v[:, 1][None, :]
-    ca = v[:, 2][None, :]
-    cb = v[:, 3][None, :]
-    cc = v[:, 4][None, :]
-    rr = v[:, 5][None, :]
-    op = v[:, 9][None, :]
-    dx = px - mx
-    dy = py - my
-    m = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
-    inside = (jnp.abs(dx) <= rr) & (jnp.abs(dy) <= rr)
+def _cumprod0(x):
+    """Inclusive cumprod along axis 0 (Hillis-Steele log-step scan; Mosaic
+    has no cumprod primitive)."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        x = x * jnp.concatenate(
+            [jnp.ones_like(x[:shift]), x[:-shift]], axis=0)
+        shift *= 2
+    return x
+
+
+def _cumsum0(x):
+    """Inclusive cumsum along axis 0 (log-step scan)."""
+    n = x.shape[0]
+    shift = 1
+    while shift < n:
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[:shift]), x[:-shift]], axis=0)
+        shift *= 2
+    return x
+
+
+def _alpha_chunk(F, px, py):
+    """Vectorized alpha for the whole chunk: returns (e, alpha_raw, alpha,
+    dx, dy) as (CHUNK, 16, 128) tensors."""
+    dx = px[None] - F["mx"]
+    dy = py[None] - F["my"]
+    m = F["ca"] * dx * dx + 2.0 * F["cb"] * dx * dy + F["cc"] * dy * dy
+    inside = (jnp.abs(dx) <= F["rr"]) & (jnp.abs(dy) <= F["rr"])
     e = jnp.where(inside, jnp.exp(-0.5 * m), 0.0)
-    alpha_raw = e * op
+    alpha_raw = e * F["op"]
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
     return e, alpha_raw, alpha, dx, dy
 
@@ -115,33 +138,27 @@ def _fwd_kernel(n_tiles_x: int,
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     px, py = _pixel_coords(g, n_tiles_x)
-    onehot = onehot_ref[:]
 
     @pl.when(j == 0)
     def _():
         acc_ref[0:4] = jnp.zeros((4, TS, TS * GROUP), jnp.float32)
         acc_ref[4] = jnp.ones((TS, TS * GROUP), jnp.float32)
 
-    V = _broadcast_chunk(onehot, gauss_ref[0, 0])
-    accR = acc_ref[0]
-    accG = acc_ref[1]
-    accB = acc_ref[2]
-    accD = acc_ref[3]
-    T = acc_ref[4]
-    for c in range(CHUNK):
-        v = V[:, c * PACK:(c + 1) * PACK]
-        _, _, alpha, _, _ = _alpha_terms(v, px, py)
-        w = alpha * T
-        accR += w * v[:, 6][None, :]
-        accG += w * v[:, 7][None, :]
-        accB += w * v[:, 8][None, :]
-        accD += w * v[:, 10][None, :]
-        T = T * (1.0 - alpha)
-    acc_ref[0] = accR
-    acc_ref[1] = accG
-    acc_ref[2] = accB
-    acc_ref[3] = accD
-    acc_ref[4] = T
+    F = _fields(gauss_ref, onehot_ref[:])
+    _, _, alpha, _, _ = _alpha_chunk(F, px, py)
+
+    T_in = acc_ref[4]
+    one_m = 1.0 - alpha
+    T_inc = _cumprod0(one_m)                                # (C, 16, 128)
+    T_excl = jnp.concatenate(
+        [jnp.ones((1, TS, TS * GROUP), jnp.float32), T_inc[:-1]], axis=0)
+    w = alpha * T_excl * T_in[None]
+
+    acc_ref[0] = acc_ref[0] + jnp.sum(w * F["cR"], axis=0)
+    acc_ref[1] = acc_ref[1] + jnp.sum(w * F["cG"], axis=0)
+    acc_ref[2] = acc_ref[2] + jnp.sum(w * F["cB"], axis=0)
+    acc_ref[3] = acc_ref[3] + jnp.sum(w * F["dep"], axis=0)
+    acc_ref[4] = T_in * T_inc[CHUNK - 1]
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -160,12 +177,12 @@ def _bwd_kernel(n_tiles_x: int,
     px, py = _pixel_coords(g, n_tiles_x)
     onehot = onehot_ref[:]
 
-    gR = gout_ref[0, 0]
-    gG = gout_ref[0, 1]
-    gB = gout_ref[0, 2]
-    gD = gout_ref[0, 3]
-    gT = gt_ref[0, 0]
-    T_fin = tfin_ref[0, 0]
+    gR = gout_ref[0, 0][None]
+    gG = gout_ref[0, 1][None]
+    gB = gout_ref[0, 2][None]
+    gD = gout_ref[0, 3][None]
+    gT = gt_ref[0, 0][None]
+    T_fin = tfin_ref[0, 0][None]
 
     @pl.when(j == 0)
     def _():
@@ -176,73 +193,66 @@ def _bwd_kernel(n_tiles_x: int,
         carry_ref[3] = out_ref[0, 2]
         carry_ref[4] = out_ref[0, 3]
 
-    V = _broadcast_chunk(onehot, gauss_ref[0, 0])
-    T = carry_ref[0]
-    SR = carry_ref[1]
-    SG = carry_ref[2]
-    SB = carry_ref[3]
-    SD = carry_ref[4]
+    F = _fields(gauss_ref, onehot)
+    e, alpha_raw, alpha, dx, dy = _alpha_chunk(F, px, py)
 
-    rows = []
-    zero_row = jnp.zeros((1, TS * GROUP), jnp.float32)
-    for c in range(CHUNK):
-        v = V[:, c * PACK:(c + 1) * PACK]
-        e, alpha_raw, alpha, dx, dy = _alpha_terms(v, px, py)
-        cR = v[:, 6][None, :]
-        cG = v[:, 7][None, :]
-        cB = v[:, 8][None, :]
-        dep = v[:, 10][None, :]
-        w = alpha * T
-        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+    T_carry = carry_ref[0]
+    one_m_full = 1.0 - alpha
+    T_inc = _cumprod0(one_m_full)
+    T_excl = jnp.concatenate(
+        [jnp.ones((1, TS, TS * GROUP), jnp.float32), T_inc[:-1]], axis=0)
+    T_before = T_excl * T_carry[None]                       # (C, 16, 128)
+    w = alpha * T_before
 
-        # Suffix AFTER this Gaussian.
-        SR = SR - w * cR
-        SG = SG - w * cG
-        SB = SB - w * cB
-        SD = SD - w * dep
+    wR = w * F["cR"]
+    wG = w * F["cG"]
+    wB = w * F["cB"]
+    wD = w * F["dep"]
 
-        dalpha = (gR * (T * cR - SR / one_m)
-                  + gG * (T * cG - SG / one_m)
-                  + gB * (T * cB - SB / one_m)
-                  + gD * (T * dep - SD / one_m)
-                  - gT * T_fin / one_m)
-        unclipped = (alpha_raw < ALPHA_MAX).astype(jnp.float32)
-        dalpha_eff = dalpha * unclipped
+    # Suffix AFTER each Gaussian: S_in − inclusive-cumsum of contributions.
+    SR_after = carry_ref[1][None] - _cumsum0(wR)
+    SG_after = carry_ref[2][None] - _cumsum0(wG)
+    SB_after = carry_ref[3][None] - _cumsum0(wB)
+    SD_after = carry_ref[4][None] - _cumsum0(wD)
 
-        ca = v[:, 2][None, :]
-        cb = v[:, 3][None, :]
-        cc = v[:, 4][None, :]
-        # alpha_raw = e * op;  e = exp(-0.5 m) * box
-        dop = dalpha_eff * e
-        dm = dalpha_eff * alpha_raw * (-0.5)
-        dmx = dm * (-(2.0 * ca * dx + 2.0 * cb * dy))
-        dmy = dm * (-(2.0 * cb * dx + 2.0 * cc * dy))
-        dca = dm * dx * dx
-        dcb = dm * 2.0 * dx * dy
-        dcc = dm * dy * dy
+    one_m = jnp.maximum(one_m_full, 1e-6)
+    dalpha = (gR * (T_before * F["cR"] - SR_after / one_m)
+              + gG * (T_before * F["cG"] - SG_after / one_m)
+              + gB * (T_before * F["cB"] - SB_after / one_m)
+              + gD * (T_before * F["dep"] - SD_after / one_m)
+              - gT * T_fin / one_m)
+    dalpha_eff = dalpha * (alpha_raw < ALPHA_MAX).astype(jnp.float32)
 
-        def rsum(q):
-            return jnp.sum(q, axis=0, keepdims=True)       # (1, 128)
+    dop = dalpha_eff * e
+    dm = dalpha_eff * alpha_raw * (-0.5)
+    dmx = dm * (-(2.0 * F["ca"] * dx + 2.0 * F["cb"] * dy))
+    dmy = dm * (-(2.0 * F["cb"] * dx + 2.0 * F["cc"] * dy))
+    dca = dm * dx * dx
+    dcb = dm * 2.0 * dx * dy
+    dcc = dm * dy * dy
 
-        rows.extend([
-            rsum(dmx), rsum(dmy), rsum(dca), rsum(dcb), rsum(dcc), zero_row,
-            rsum(w * gR), rsum(w * gG), rsum(w * gB), rsum(dop),
-            rsum(w * gD), zero_row])
+    # Per-gaussian stripe reductions: sum rows -> (C, 128), then contract the
+    # 128 stripe columns with the one-hot -> (C, 8), all fields in ONE matmul
+    # stacked field-major to match the grad pack layout.
+    zero = jnp.zeros((CHUNK, TS * GROUP), jnp.float32)
 
-        T = T * (1.0 - alpha)
+    def rsum(q):
+        return jnp.sum(q, axis=1)                           # (C, 128)
 
-    carry_ref[0] = T
-    carry_ref[1] = SR
-    carry_ref[2] = SG
-    carry_ref[3] = SB
-    carry_ref[4] = SD
-
-    # One stripe-reduction matmul per chunk: (C*PACK, 128) @ (128, 8).
-    stacked = jnp.concatenate(rows, axis=0)                 # (C*PACK, 128)
+    stacked = jnp.concatenate(
+        [rsum(dmx), rsum(dmy), rsum(dca), rsum(dcb), rsum(dcc), zero,
+         rsum(w * gR), rsum(w * gG), rsum(w * gB), rsum(dop),
+         rsum(w * gD), zero], axis=0)                       # (PACK*C, 128)
     G = jax.lax.dot(stacked, onehot,
                     precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)     # (C*PACK, 8)
-    grad_ref[0, 0] = G.T                              # (8, C*PACK)
+                    preferred_element_type=jnp.float32)     # (PACK*C, 8)
+    grad_ref[0, 0] = G.T                                    # (8, PACK*C)
+
+    carry_ref[0] = T_carry * T_inc[CHUNK - 1]
+    carry_ref[1] = SR_after[CHUNK - 1]
+    carry_ref[2] = SG_after[CHUNK - 1]
+    carry_ref[3] = SB_after[CHUNK - 1]
+    carry_ref[4] = SD_after[CHUNK - 1]
 
 
 def _run_forward(g_pack: jax.Array, n_tiles_x: int, interpret: bool):
@@ -252,7 +262,7 @@ def _run_forward(g_pack: jax.Array, n_tiles_x: int, interpret: bool):
         functools.partial(_fwd_kernel, n_tiles_x),
         grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, GROUP, CHUNK * PACK),
+            pl.BlockSpec((1, 1, GROUP, PACK * CHUNK),
                          lambda g, j: (g, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),          # onehot
@@ -288,7 +298,7 @@ def _run_backward(g_pack, out, g_out, g_t, t_fin, n_tiles_x: int,
         functools.partial(_bwd_kernel, n_tiles_x),
         grid=(n_groups, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, GROUP, CHUNK * PACK),
+            pl.BlockSpec((1, 1, GROUP, PACK * CHUNK),
                          lambda g, j: (g, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, TS, TS * GROUP), group_spec,
@@ -301,11 +311,11 @@ def _run_backward(g_pack, out, g_out, g_t, t_fin, n_tiles_x: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),          # onehot
         ],
-        out_specs=pl.BlockSpec((1, 1, GROUP, CHUNK * PACK),
+        out_specs=pl.BlockSpec((1, 1, GROUP, PACK * CHUNK),
                                lambda g, j: (g, j, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (n_groups, n_chunks, GROUP, CHUNK * PACK), jnp.float32),
+            (n_groups, n_chunks, GROUP, PACK * CHUNK), jnp.float32),
         scratch_shapes=[pltpu.VMEM((5, TS, TS * GROUP), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -318,9 +328,9 @@ def _run_backward(g_pack, out, g_out, g_t, t_fin, n_tiles_x: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def composite_pallas(g_pack: jax.Array, n_tiles_x: int,
                      interpret: bool = False):
-    """g_pack: (n_groups, GROUP, n_chunks, CHUNK*PACK) binned, depth-ordered,
-    chunk-flattened Gaussians (see module docstring; masked entries must have
-    opacity 0).  Returns (out (n_groups, 4, 16, 128) premultiplied
+    """g_pack: (n_groups, n_chunks, GROUP, PACK*CHUNK) binned, depth-ordered,
+    FIELD-MAJOR-packed Gaussians (see module docstring; masked entries must
+    have opacity 0).  Returns (out (n_groups, 4, 16, 128) premultiplied
     [R,G,B,depth], T (n_groups, 16, 128) transmittance)."""
     return _run_forward(g_pack, n_tiles_x, interpret)
 
@@ -355,17 +365,27 @@ def composite_tiles_pallas(
     pad_t = (-T_tiles) % GROUP
     m_cap = max(CHUNK, -(-M // CHUNK) * CHUNK)
 
+    # Invalid slots are masked through BOTH opacity and radius: radius -1
+    # makes the inside-box test false everywhere, so e == 0 and no gradient
+    # (incl. d/d-opacity) can leak out of dead entries.
     op_masked = jnp.where(valid, g_op, 0.0)
+    # stop_gradient: the radius only gates the inside-box test (no true
+    # derivative), and a LITERAL zero cotangent flowing back into
+    # effective_radius hits sqrt'(0) = inf for exactly-isotropic Gaussians
+    # (trace^2 == 4 det) -> NaN; a symbolic zero skips that VJP entirely.
+    rad_masked = jax.lax.stop_gradient(jnp.where(valid, g_radius, -1.0))
     pack = jnp.concatenate(
-        [g_mean, g_conic, g_radius[..., None], g_color,
+        [g_mean, g_conic, rad_masked[..., None], g_color,
          op_masked[..., None], g_depth[..., None],
-         jnp.zeros_like(g_op)[..., None]], axis=-1)       # (T, M, 12)
+         jnp.zeros_like(g_op)[..., None]], axis=-1)       # (T, M, PACK)
     pack = jnp.pad(pack, ((0, pad_t), (0, m_cap - M), (0, 0)))
     n_groups = (T_tiles + pad_t) // GROUP
-    # Chunk-flattened layout: (n_groups, n_chunks, GROUP, CHUNK*PACK) — the
-    # (GROUP, CHUNK*PACK) minor dims satisfy Mosaic's (8k, full) block rule.
-    pack = pack.reshape(n_groups, GROUP, m_cap // CHUNK, CHUNK * PACK)
-    pack = pack.transpose(0, 2, 1, 3)
+    n_chunks = m_cap // CHUNK
+    # Field-major chunk layout: (n_groups, n_chunks, GROUP, PACK*CHUNK) with
+    # columns ordered f*CHUNK + c.
+    pack = pack.reshape(n_groups, GROUP, n_chunks, CHUNK, PACK)
+    pack = pack.transpose(0, 2, 1, 4, 3).reshape(
+        n_groups, n_chunks, GROUP, PACK * CHUNK)
 
     out, t = composite_pallas(pack, n_tiles_x, interpret)
 

@@ -47,7 +47,8 @@ class TileRendererConfig:
     phase_amplitude: float = 0.25
     hard_cutoff: bool = True     # zero alpha outside the 3-sigma box (matches
                                  # the reference's bbox-clipped evaluation)
-    backend: str = "xla"         # "xla" (scan compositor) | "pallas" (TPU
+    backend: str = "auto"        # "auto" (pallas on TPU, xla elsewhere) |
+                                 # "xla" (scan compositor) | "pallas" (TPU
                                  # kernel w/ analytic VJP; 16px tiles only,
                                  # no phase blending)
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
@@ -315,7 +316,13 @@ def render_tiled(
     px = x0 + lx                      # (T, P)
     py = y0 + ly
 
-    if cfg.backend == "pallas" and g_phase is None and ts == 16:
+    backend = cfg.backend
+    if backend == "auto":
+        # The Pallas kernel's analytic backward is ~1.8x faster than XLA
+        # autodiff on TPU; on CPU/GPU backends Pallas TPU kernels can't run
+        # compiled, so fall back to the portable scan compositor.
+        backend = "pallas" if jax.default_backend() not in ("cpu", "gpu")             else "xla"
+    if backend == "pallas" and g_phase is None and ts == 16:
         from fresnel_tpu.render.pallas_raster import composite_tiles_pallas
         acc_c, acc_d, Tr = composite_tiles_pallas(
             px, py, g_mean, g_conic, g_color, g_op, g_depth, g_radius,
