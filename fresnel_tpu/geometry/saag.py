@@ -310,7 +310,8 @@ def to_surface_gaussians(
 
     base = params.base_size * (0.5 + 0.5 * pc.confidence)
     t_edge = jnp.clip((norm_grad - params.edge_threshold)
-                      / max(1.0 - params.edge_threshold, 1e-6), 0.0, 1.0)
+                      / jnp.maximum(1.0 - params.edge_threshold, 1e-6),
+                      0.0, 1.0)
     edge_factor = jnp.where(norm_grad > params.edge_threshold,
                             1.0 - t_edge * (1.0 - params.edge_shrink), 1.0)
     tangent = base * edge_factor
@@ -377,8 +378,9 @@ def to_surface_gaussians(
         wrap_scale = jnp.stack(
             [wrap_base, wrap_base, wrap_base / wrap_params.wrap_aspect], -1)
         for layer in range(wrap_params.wrap_layers):
-            offset = (layer + 1) * wrap_params.layer_spacing * params.base_size
-            wrap_pos = pc.positions + wrap_dir * offset
+            offset = jnp.asarray(
+                (layer + 1) * wrap_params.layer_spacing * params.base_size)
+            wrap_pos = pc.positions + wrap_dir * offset[..., None]
             wrap_op = jnp.where(
                 wrap_ok,
                 final_opacity * wrap_params.opacity_falloff ** (layer + 1),
@@ -411,3 +413,76 @@ def to_surface_gaussians(
     return GaussianCloud(positions=positions, scales=scales,
                          rotations=rotations, colors=colors,
                          opacities=opacities)
+
+
+# ----------------------------------------------------------------------
+# Feature-guided SAAG (experiment 3 inference path)
+# ----------------------------------------------------------------------
+
+def modulated_surface_params(base: SurfaceGaussianParams, mods: Dict,
+                             pixel_xy: jax.Array,
+                             grid_hw: Tuple[int, int]):
+    """Per-POINT SurfaceGaussianParams from FeatureGuidedSAAG's 37x37
+    modulation maps (reference intent: gaussian_decoder_models.py:1422-1490 —
+    the reference's training loop only ever applied the patch MEAN; this is
+    the full spatial application).
+
+    mods: dict of (gh, gw) maps (single sample, no batch dim).
+    Returns a SurfaceGaussianParams whose fields are (N,) arrays — every
+    consumer expression in to_surface_gaussians broadcasts elementwise.
+    """
+    gh, gw = mods["base_size_mult"].shape[-2:]
+    H, W = grid_hw
+    px = jnp.clip((pixel_xy[:, 0].astype(jnp.float32) / W * gw).astype(jnp.int32),
+                  0, gw - 1)
+    py = jnp.clip((pixel_xy[:, 1].astype(jnp.float32) / H * gh).astype(jnp.int32),
+                  0, gh - 1)
+
+    def at(name):
+        return mods[name][py, px]
+
+    return SurfaceGaussianParams(
+        base_size=base.base_size * at("base_size_mult"),
+        aspect_ratio=base.aspect_ratio * at("aspect_ratio_mult"),
+        edge_threshold=jnp.clip(
+            base.edge_threshold + at("edge_threshold_add"), 0.01, 0.99),
+        edge_shrink=jnp.clip(base.edge_shrink * at("edge_shrink_mult"),
+                             0.0, 1.0),
+        min_confidence=base.min_confidence,
+        gradient_scale=base.gradient_scale,
+        normal_strength=jnp.clip(
+            base.normal_strength * at("normal_strength_mult"), 0.0, 1.0),
+    )
+
+
+def feature_guided_surface_gaussians(
+    pc: PointCloud,
+    depth: jax.Array,
+    mods: Dict,
+    base_params: SurfaceGaussianParams = SurfaceGaussianParams(),
+    wrap_params: SilhouetteWrapParams = SilhouetteWrapParams(),
+    shell_params: VolumetricShellParams = VolumetricShellParams(),
+    density_params: AdaptiveDensityParams = AdaptiveDensityParams(),
+    opacity: float = 0.8,
+) -> GaussianCloud:
+    """SAAG with the full per-patch modulation maps applied spatially,
+    including the opacity multiplier."""
+    params = modulated_surface_params(
+        base_params, mods, pc.pixel_xy, depth.shape[-2:])
+    cloud = to_surface_gaussians(pc, depth, params=params,
+                                 wrap_params=wrap_params,
+                                 shell_params=shell_params,
+                                 density_params=density_params,
+                                 opacity=opacity)
+    # Opacity modulation, tiled across the static output blocks.
+    gh, gw = mods["opacity_mult"].shape[-2:]
+    H, W = depth.shape[-2:]
+    px = jnp.clip((pc.pixel_xy[:, 0].astype(jnp.float32) / W * gw).astype(jnp.int32),
+                  0, gw - 1)
+    py = jnp.clip((pc.pixel_xy[:, 1].astype(jnp.float32) / H * gh).astype(jnp.int32),
+                  0, gh - 1)
+    op_mult = mods["opacity_mult"][py, px]
+    n = pc.num_points
+    reps = cloud.num_gaussians // n
+    op_full = jnp.tile(op_mult, reps)
+    return cloud.replace(opacities=jnp.clip(cloud.opacities * op_full, 0.0, 1.0))

@@ -205,3 +205,51 @@ class TestSurfaceGaussians:
                            config=TileRendererConfig(max_per_tile=512))
         assert float(jnp.max(img)) > 0.1  # visible content
         assert bool(jnp.all(jnp.isfinite(img)))
+
+
+class TestFeatureGuidedSAAG:
+    def test_neutral_modulations_match_plain(self):
+        import jax.numpy as jnp
+        from fresnel_tpu.geometry.saag import feature_guided_surface_gaussians
+
+        depth = ramp_step_depth()
+        pc = pointcloud_from_depth(depth, depth_scale=2.0)
+        neutral = {
+            "base_size_mult": jnp.ones((37, 37)),
+            "aspect_ratio_mult": jnp.ones((37, 37)),
+            "edge_threshold_add": jnp.zeros((37, 37)),
+            "edge_shrink_mult": jnp.ones((37, 37)),
+            "normal_strength_mult": jnp.ones((37, 37)),
+            "opacity_mult": jnp.ones((37, 37)),
+        }
+        g1 = feature_guided_surface_gaussians(pc, depth, neutral)
+        g2 = to_surface_gaussians(pc, depth)
+        np.testing.assert_allclose(np.asarray(g1.positions),
+                                   np.asarray(g2.positions))
+        np.testing.assert_allclose(np.asarray(g1.opacities),
+                                   np.asarray(g2.opacities))
+
+    def test_spatial_modulation_applies(self):
+        import jax.numpy as jnp
+        from fresnel_tpu.geometry.saag import feature_guided_surface_gaussians
+
+        depth = ramp_step_depth()
+        pc = pointcloud_from_depth(depth, depth_scale=2.0)
+        mods = {
+            "base_size_mult": jnp.full((37, 37), 1.5),
+            "aspect_ratio_mult": jnp.ones((37, 37)),
+            "edge_threshold_add": jnp.zeros((37, 37)),
+            "edge_shrink_mult": jnp.ones((37, 37)),
+            "normal_strength_mult": jnp.ones((37, 37)),
+            "opacity_mult": jnp.full((37, 37), 0.5),
+        }
+        g1 = feature_guided_surface_gaussians(pc, depth, mods)
+        g2 = to_surface_gaussians(pc, depth)
+        live = np.asarray(g2.opacities) > 0
+        # 1.5x base size and 0.5x opacity applied everywhere.
+        np.testing.assert_allclose(
+            np.asarray(g1.scales)[live], np.asarray(g2.scales)[live] * 1.5,
+            rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g1.opacities)[live],
+            np.asarray(g2.opacities)[live] * 0.5, rtol=1e-5)
