@@ -31,10 +31,12 @@ def make_renderer(name: str, *, use_phase_blending: bool = False,
     name = name.lower()
 
     if name == "tile":
+        import os
         cfg = TileRendererConfig(
             use_phase_blending=use_phase_blending,
             phase_amplitude=phase_amplitude,
-            max_per_tile=max_per_tile)
+            max_per_tile=max_per_tile,
+            backend=os.environ.get("FRESNEL_RENDER_BACKEND", "auto"))
 
         def render(p, s, r, c, o, cam, phases=None, return_depth=False):
             return render_tiled(p, s, r, c, o, cam, phases=phases,

@@ -324,7 +324,14 @@ class Trainer:
         def train_step(state, batch, rng):
             (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"], batch, rng)
-            finite = jnp.isfinite(loss)
+            # Guard BOTH loss and gradients: a single inf/NaN grad leaf with
+            # a finite loss still poisons every parameter through
+            # clip_by_global_norm (inf norm -> 0 * inf = NaN updates).
+            grads_finite = jax.tree.reduce(
+                jnp.logical_and,
+                jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads),
+                jnp.bool_(True))
+            finite = jnp.isfinite(loss) & grads_finite
             grads = jax.tree.map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             updates, new_opt = optimizer.update(

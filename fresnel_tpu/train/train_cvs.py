@@ -52,13 +52,15 @@ class GaussianBootstrapDataset:
             poses = [(0.0, 0.0)] + [
                 (rng.uniform(-0.4, 0.6), rng.uniform(0, 2 * np.pi))
                 for _ in range(views_per_scene - 1)]
-            views, mats = [], []
+            views, depths, mats = [], [], []
             for el, az in poses:
                 cam = Camera.from_pose(el, az, image_size, distance=2.0)
-                img = render_tiled(cloud.positions, cloud.scales,
-                                   cloud.rotations, cloud.colors,
-                                   cloud.opacities, cam)
+                img, dep = render_tiled(cloud.positions, cloud.scales,
+                                        cloud.rotations, cloud.colors,
+                                        cloud.opacities, cam,
+                                        return_depth=True)
                 views.append(np.asarray(img))
+                depths.append(np.asarray(dep))
                 R = np.asarray(cam.view[:3, :3])
                 t = np.asarray(cam.view[:3, 3])
                 mats.append((R, t))
@@ -73,6 +75,7 @@ class GaussianBootstrapDataset:
                     "R_rel": R_rel.astype(np.float32),
                     "t_rel": t_rel.astype(np.float32),
                     "target_image": views[i],
+                    "target_depth": depths[i],
                 })
 
     def __len__(self):
@@ -102,6 +105,7 @@ class CVSTrainConfig:
     lambda_reconstruction: float = 1.0
     lambda_perceptual: float = 0.5
     consistency_ramp_epochs: int = 10   # progressive consistency weight ramp
+    use_quality_aware: bool = False     # depth-Laplacian quality masking
     ema_decay: float = 0.9999
     save_interval: int = 10
     seed: int = 0
@@ -194,7 +198,13 @@ class CVSTrainer:
                 timestep=timestep, noise=noise, deterministic=False)
 
             ld = {}
-            l1 = jnp.mean(jnp.abs(out["x0_pred"] - out["target"]))
+            if cfg.use_quality_aware and "target_depth" in batch:
+                from fresnel_tpu.losses.quality_aware import quality_mask
+                qm = quality_mask(batch["target_depth"])
+                l1 = jnp.mean(jnp.abs(out["x0_pred"] - out["target"])
+                              * qm[:, None])
+            else:
+                l1 = jnp.mean(jnp.abs(out["x0_pred"] - out["target"]))
             ld["l1"] = l1 * cfg.lambda_reconstruction
             pf = perc_apply(perc_params, out["x0_pred"])
             tf = perc_apply(perc_params, out["target"])
@@ -227,7 +237,11 @@ class CVSTrainer:
             (loss, ld), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"], state["ema_params"], state["perc_params"],
                 batch, rng, consistency_weight)
-            finite = jnp.isfinite(loss)
+            grads_finite = jax.tree.reduce(
+                jnp.logical_and,
+                jax.tree.map(lambda g: jnp.all(jnp.isfinite(g)), grads),
+                jnp.bool_(True))
+            finite = jnp.isfinite(loss) & grads_finite
             grads = jax.tree.map(
                 lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
             updates, new_opt = optimizer.update(
@@ -264,8 +278,14 @@ class CVSTrainer:
         out_dir = Path(cfg.output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         for epoch in range(epochs):
-            # Progressive consistency-weight ramp.
-            cw = min(1.0, (epoch + 1) / max(cfg.consistency_ramp_epochs, 1))
+            # Progressive consistency-weight ramp (staircase schedule when
+            # quality-aware training is on, reference parity).
+            if cfg.use_quality_aware:
+                from fresnel_tpu.losses.quality_aware import (
+                    consistency_weight_schedule)
+                cw = consistency_weight_schedule(epoch, epochs)
+            else:
+                cw = min(1.0, (epoch + 1) / max(cfg.consistency_ramp_epochs, 1))
             t0 = time.perf_counter()
             losses: Dict[str, list] = {}
             for batch in dataset.batches(cfg.batch_size, nprng):
@@ -316,6 +336,7 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--base_channels", type=int, default=64)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--use_quality_aware", action="store_true")
     p.add_argument("--n_scenes", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -323,7 +344,8 @@ def main(argv=None):
     cfg = CVSTrainConfig(
         output_dir=args.output_dir, epochs=args.epochs,
         batch_size=args.batch_size, lr=args.lr, image_size=args.image_size,
-        base_channels=args.base_channels, seed=args.seed)
+        base_channels=args.base_channels,
+        use_quality_aware=args.use_quality_aware, seed=args.seed)
     dataset = GaussianBootstrapDataset(
         n_scenes=args.n_scenes, image_size=cfg.image_size, seed=cfg.seed)
     print(f"dataset: {len(dataset)} view pairs")
