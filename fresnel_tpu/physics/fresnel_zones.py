@@ -83,8 +83,10 @@ class FresnelZones:
 
     def quantize_depth(self, depth: jax.Array) -> jax.Array:
         d = jnp.clip(depth, self.depth_range[0], self.depth_range[1])
-        # searchsorted over interior boundaries == torch.bucketize semantics.
-        return jnp.searchsorted(self.zone_boundaries[1:-1], d, side="right")
+        # side="left" == torch.bucketize(right=False): a value exactly ON a
+        # boundary belongs to the LOWER zone (reference parity at exact
+        # boundaries, fresnel_zones.py:96-116).
+        return jnp.searchsorted(self.zone_boundaries[1:-1], d, side="left")
 
     def zone_centers_for_depth(self, depth: jax.Array) -> jax.Array:
         return self.zone_centers[self.quantize_depth(depth)]

@@ -34,13 +34,14 @@ class TestFresnelZones:
         idx = self.fz.quantize_depth(d)
         assert int(idx[0]) == 0
         assert int(idx[2]) == 0 and int(idx[3]) == 1  # boundary at 0.125
-        assert int(idx[-1]) == 7
+        assert int(idx[-1]) == 7  # 1.0 clamps into the last zone
 
     def test_zone_centers_snap(self):
         d = jnp.array([0.1, 0.5, 0.9])
         centers = self.fz.zone_centers_for_depth(d)
-        # Zone width 0.125: centers at 0.0625 + k*0.125.
-        np.testing.assert_allclose(centers, [0.0625, 0.5625, 0.9375], atol=1e-6)
+        # Zone width 0.125: centers at 0.0625 + k*0.125.  Exactly-on-boundary
+        # values (0.5) belong to the LOWER zone (reference bucketize parity).
+        np.testing.assert_allclose(centers, [0.0625, 0.4375, 0.9375], atol=1e-6)
 
     def test_boundary_mask_peaks_at_boundaries(self):
         d = jnp.linspace(0.0, 1.0, 101)
