@@ -128,6 +128,30 @@ def saag_prior_from_depth(depth: jax.Array, subsample: int = SAAG_SUBSAMPLE):
             "saag_opacities": g.opacities}
 
 
+def save_loss_plots(history: Dict[str, list], path) -> bool:
+    """4-panel loss plots (reference parity:
+    train_gaussian_decoder.py:1317-1396).  No-op without matplotlib."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return False
+    keys = [k for k in ("total", "rgb", "ssim", "depth") if k in history]
+    if not keys:
+        return False
+    fig, axes = plt.subplots(2, 2, figsize=(10, 7))
+    for ax, k in zip(axes.ravel(), keys):
+        ax.plot(history[k])
+        ax.set_title(k)
+        ax.set_xlabel("epoch")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(path, dpi=90)
+    plt.close(fig)
+    return True
+
+
 def gumbel_topk_indices(rng: jax.Array, weights: jax.Array, k: int) -> jax.Array:
     """Sample k indices without replacement, probability ∝ weights
     (Gumbel-top-k trick) — the static-shape replacement for
@@ -418,6 +442,7 @@ class Trainer:
         self.save_checkpoint(out_dir / "final_model.msgpack", state, epochs - 1)
         with open(out_dir / "loss_history.json", "w") as f:
             json.dump(self.history, f, indent=2)
+        save_loss_plots(self.history, out_dir / "loss_plots.png")
         return state
 
     def _total_gaussians(self, K: int) -> int:
