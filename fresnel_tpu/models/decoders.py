@@ -181,6 +181,11 @@ class PhysicsDirectPatchDecoder(nn.Module):
     wavelength: float = 0.05
     learnable_wavelength: bool = True
     focal_depth: float = 0.5
+    # Fringe-guided edge placement.  The reference accepts this flag and
+    # constructs FresnelDiffraction but never calls it in forward
+    # (gaussian_decoder_models.py:1027-1030 — inert); here the fringe
+    # intensity actually modulates opacity near depth edges.
+    use_diffraction_placement: bool = False
 
     @nn.compact
     def __call__(
@@ -228,6 +233,20 @@ class PhysicsDirectPatchDecoder(nn.Module):
         rotations = rotation_6d_to_quaternion(rot_6d)
         colors = jax.nn.sigmoid(raw_color)
         opacities = jax.nn.sigmoid(raw_opacity)
+
+        if self.use_diffraction_placement and depth is not None:
+            from fresnel_tpu.physics.diffraction import FresnelDiffraction
+            from fresnel_tpu.physics.fresnel_zones import sobel_gradients
+
+            fd = FresnelDiffraction(wavelength=self.wavelength)
+            depth_grid = _resize_depth_to_grid(depth, H, W)   # (B, H, W)
+            gx, gy = sobel_gradients(depth_grid)
+            edge = jnp.tanh(jnp.sqrt(gx**2 + gy**2 + 1e-12) * 10.0)
+            # Proxy distance-from-edge: strong edges -> in the fringe region.
+            dist = (1.0 - edge) * 0.5
+            w = fd.compute_fresnel_parameter(dist, jnp.abs(depth_grid) + 1.0)
+            fringe = jnp.clip(fd.fresnel_intensity(w) / 2.0, 0.5, 1.25)
+            opacities = jnp.clip(opacities * fringe[..., None], 0.0, 1.0)
 
         # Physics-derived scalar phase from normalized z.
         if self.learnable_wavelength:

@@ -1,6 +1,6 @@
 """Multi-device rendering (SURVEY.md §2.6 consequences b/c).
 
-Two sharded render paths, both demonstrated over a jax.sharding.Mesh:
+Three sharded render paths, all demonstrated over a jax.sharding.Mesh:
   * render_batch_sharded — one image per device: the batch axis of the
     Gaussian arrays is sharded over "data"; rendering is embarrassingly
     parallel (no collectives).
@@ -13,10 +13,16 @@ Two sharded render paths, both demonstrated over a jax.sharding.Mesh:
     an all_gather of per-shard (color, T) partials plus the tiny sequential
     fold.  The caller must pass the cloud pre-sorted by depth so shards are
     depth-contiguous.
+  * render_pixel_sharded — one image, PIXEL space sharded: each device gets a
+    horizontal band of tile rows and the full (replicated) cloud, culls to
+    its band, and renders it; the result is already sharded along H (the
+    sequence-parallel analogue for rendering — no collectives on the hot
+    path, ideal when N_pixels >> N_gaussians).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Tuple
 
 import jax
@@ -75,3 +81,35 @@ def render_gaussian_sharded(positions, scales, rotations, colors, opacities,
         T = T * parts[d, 1]
     bg = jnp.asarray(background, jnp.float32)
     return jnp.clip(color + T * bg[:, None, None], 0.0, 1.0)
+
+
+def render_pixel_sharded(positions, scales, rotations, colors, opacities,
+                         camera: Camera, mesh: Mesh,
+                         config: TileRendererConfig = TileRendererConfig(),
+                         background: Tuple[float, float, float] = (0, 0, 0)):
+    """One cloud replicated everywhere; IMAGE rows sharded over "data".
+
+    Each device renders a horizontal band by shifting the principal point
+    cy by its band offset (axis_index * band_h) — the band camera sees
+    exactly its rows of the full image.  Output stays sharded along H; no
+    collectives on the render path.
+    """
+    n_dev = mesh.devices.size
+    if camera.height % n_dev:
+        raise ValueError(
+            f"height {camera.height} not divisible by {n_dev} devices")
+    band_h = camera.height // n_dev
+
+    def one_band(p, s, r, c, o):
+        row0 = jax.lax.axis_index("data").astype(jnp.float32) * band_h
+        band_cam = dataclasses.replace(
+            camera, cy=camera.cy - row0, height=band_h)
+        img = render_tiled(p, s, r, c, o, band_cam, background=background,
+                           config=config)                  # (3, band_h, W)
+        return img[None]                                   # (1, 3, band_h, W)
+
+    f = shard_map(one_band, mesh=mesh, in_specs=(P(),) * 5,
+                  out_specs=P("data"), check_rep=False)
+    bands = jax.jit(f)(positions, scales, rotations, colors, opacities)
+    # bands: (D, 3, band_h, W) sharded on the leading axis -> (3, H, W).
+    return jnp.concatenate([bands[d] for d in range(n_dev)], axis=1)

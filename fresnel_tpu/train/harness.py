@@ -57,6 +57,7 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
                 wavelength=physics_config.wavelength,
                 learnable_wavelength=physics_config.learnable_wavelength,
                 focal_depth=physics_config.focal_depth,
+                use_diffraction_placement=physics_config.use_diffraction_placement,
                 **common)
         from fresnel_tpu.models.decoders import DirectPatchDecoder
         return DirectPatchDecoder(

@@ -128,6 +128,22 @@ class TestPhysicsDecoder:
         assert float(out["phases"].min()) >= 0
         assert float(out["phases"].max()) < 2 * np.pi + 1e-5
 
+    def test_diffraction_placement_modulates_opacity(self):
+        feats, depth = dummy_inputs()
+        base = PhysicsDirectPatchDecoder(gaussians_per_patch=2)
+        diff = PhysicsDirectPatchDecoder(gaussians_per_patch=2,
+                                         use_diffraction_placement=True)
+        params = base.init(jax.random.PRNGKey(0), feats, depth)
+        o_base = base.apply(params, feats, depth)
+        o_diff = diff.apply(params, feats, depth)
+        # Same params, flag on -> fringe-modulated opacities, all else equal.
+        assert not np.allclose(np.asarray(o_base["opacities"]),
+                               np.asarray(o_diff["opacities"]))
+        np.testing.assert_allclose(np.asarray(o_base["positions"]),
+                                   np.asarray(o_diff["positions"]))
+        op = np.asarray(o_diff["opacities"])
+        assert np.isfinite(op).all() and op.min() >= 0 and op.max() <= 1
+
 
 class TestGeometryHelpers:
     def test_fibonacci_spiral(self):

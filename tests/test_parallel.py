@@ -75,6 +75,35 @@ class TestGaussianShardedRender:
                                    atol=2e-3)
 
 
+class TestPixelShardedRender:
+    def test_matches_single_device(self, mesh4):
+        from fresnel_tpu.parallel.render import render_pixel_sharded
+
+        cloud = GaussianCloud.test_cloud(100, seed=3, spread=0.5,
+                                         z_offset=-2.0)
+        cam = Camera.default_training(64)   # 4 devices -> 16-row bands
+        cfg = TileRendererConfig(max_per_tile=128)
+        out = render_pixel_sharded(cloud.positions, cloud.scales,
+                                   cloud.rotations, cloud.colors,
+                                   cloud.opacities, cam, mesh4, config=cfg,
+                                   background=(0.1, 0.2, 0.3))
+        ref = render_tiled(cloud.positions, cloud.scales, cloud.rotations,
+                           cloud.colors, cloud.opacities, cam, config=cfg,
+                           background=(0.1, 0.2, 0.3))
+        assert out.shape == ref.shape == (3, 64, 64)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3)
+
+    def test_rejects_indivisible_height(self, mesh4):
+        from fresnel_tpu.parallel.render import render_pixel_sharded
+        cloud = GaussianCloud.test_cloud(10, z_offset=-2.0)
+        cam = Camera.default_training(50)
+        with pytest.raises(ValueError, match="not divisible"):
+            render_pixel_sharded(cloud.positions, cloud.scales,
+                                 cloud.rotations, cloud.colors,
+                                 cloud.opacities, cam, mesh4)
+
+
 class TestQualityAware:
     def test_quality_mask_low_at_artifacts(self):
         from fresnel_tpu.losses.quality_aware import quality_mask
