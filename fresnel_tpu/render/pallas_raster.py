@@ -361,10 +361,6 @@ def composite_tiles_pallas(
     Inputs are (T, M, ...) binned arrays; returns (color (T, P, 3),
     depth (T, P), transmittance (T, P)) with P = 256.
     """
-    T_tiles, M = valid.shape
-    pad_t = (-T_tiles) % GROUP
-    m_cap = max(CHUNK, -(-M // CHUNK) * CHUNK)
-
     # Invalid slots are masked through BOTH opacity and radius: radius -1
     # makes the inside-box test false everywhere, so e == 0 and no gradient
     # (incl. d/d-opacity) can leak out of dead entries.
@@ -378,6 +374,23 @@ def composite_tiles_pallas(
         [g_mean, g_conic, rad_masked[..., None], g_color,
          op_masked[..., None], g_depth[..., None],
          jnp.zeros_like(g_op)[..., None]], axis=-1)       # (T, M, PACK)
+    return composite_tiles_pallas_packed(pack, n_tiles_x, interpret)
+
+
+def composite_tiles_pallas_packed(
+    pack, n_tiles_x: int, interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Packed-input adapter: pack is (T, M, PACK) with field order
+    [mean(2), conic(3), radius(1), color(3), opacity(1), depth(1), pad(1)],
+    invalid slots already masked (opacity 0, radius -1, radius gradient
+    stopped).  This is the fast path for callers that assemble the per-tile
+    lists with ONE gather from a per-Gaussian packed table instead of six
+    separate fancy-index gathers (the gathers dominate the pre-kernel cost
+    at 512^2 / 20k Gaussians: ~11 ms of the 36 ms forward).
+    """
+    T_tiles, M, _ = pack.shape
+    pad_t = (-T_tiles) % GROUP
+    m_cap = max(CHUNK, -(-M // CHUNK) * CHUNK)
     pack = jnp.pad(pack, ((0, pad_t), (0, m_cap - M), (0, 0)))
     n_groups = (T_tiles + pad_t) // GROUP
     n_chunks = m_cap // CHUNK
