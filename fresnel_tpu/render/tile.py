@@ -81,19 +81,30 @@ def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
     M = max_per_tile
     half = tile_window // 2
 
-    tx = jnp.arange(n_tiles_x, dtype=jnp.float32) * ts          # tile x0
-    ty = jnp.arange(n_tiles_y, dtype=jnp.float32) * ts
-    x0 = jnp.tile(tx, n_tiles_y)                                 # (T,)
-    y0 = jnp.repeat(ty, n_tiles_x)
-
     u = means2d[:, 0]
     v = means2d[:, 1]
     r = radii
 
-    hit = (u[None] + r[None] >= x0[:, None]) & (u[None] - r[None] < (x0 + ts)[:, None])
-    hit &= (v[None] + r[None] >= y0[:, None]) & (v[None] - r[None] < (y0 + ts)[:, None])
-    hit &= visible[None, :]                                      # (T, N)
-    C = jnp.cumsum(hit, axis=1, dtype=jnp.int32)
+    # The tile-interval test is SEPARABLE: tile (a, b) is hit iff a is in
+    # the Gaussian's x-window and b in its y-window.  Building two (ntiles,
+    # N) axis masks and one broadcast AND replaces four f32 compares over
+    # the full (T, N) matrix — the compares were half the binning cost.
+    # a*ts <= u+r  <=>  a <= floor((u+r)/ts);  u-r < (a+1)*ts  <=>
+    # a >= floor((u-r)/ts)  (exact for integer a, incl. the boundary case).
+    cxlo = jnp.floor((u - r) / ts).astype(jnp.int32)
+    cxhi = jnp.floor((u + r) / ts).astype(jnp.int32)
+    cylo = jnp.floor((v - r) / ts).astype(jnp.int32)
+    cyhi = jnp.floor((v + r) / ts).astype(jnp.int32)
+    ax = jnp.arange(n_tiles_x, dtype=jnp.int32)
+    ay = jnp.arange(n_tiles_y, dtype=jnp.int32)
+    hx = (ax[:, None] >= cxlo[None]) & (ax[:, None] <= cxhi[None])  # (ntx, N)
+    hy = ((ay[:, None] >= cylo[None]) & (ay[:, None] <= cyhi[None])
+          & visible[None, :])                                       # (nty, N)
+    hit = (hy[:, None, :] & hx[None, :, :]).reshape(T, n)           # (T, N)
+    # int16 halves the HBM traffic of the (T, N) rank table (counts are
+    # bounded by N; the int32 path is kept for clouds beyond int16 range).
+    cdtype = jnp.int16 if n < 32000 else jnp.int32
+    C = jnp.cumsum(hit, axis=1, dtype=cdtype)
 
     # Window pairs around each Gaussian's center tile.
     offs_y, offs_x = jnp.meshgrid(
@@ -108,20 +119,23 @@ def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
     inb = (txp >= 0) & (txp < n_tiles_x) & (typ >= 0) & (typ < n_tiles_y)
     t_lin = jnp.where(inb, typ * n_tiles_x + txp, 0)
 
-    px0 = txp.astype(jnp.float32) * ts
-    py0 = typ.astype(jnp.float32) * ts
-    ov = ((u[:, None] + r[:, None] >= px0) & (u[:, None] - r[:, None] < px0 + ts)
-          & (v[:, None] + r[:, None] >= py0) & (v[:, None] - r[:, None] < py0 + ts)
+    # Same integer-interval test as hx/hy — guaranteed consistent with `hit`.
+    ov = ((txp >= cxlo[:, None]) & (txp <= cxhi[:, None])
+          & (typ >= cylo[:, None]) & (typ <= cyhi[:, None])
           & inb & visible[:, None])
 
     j_idx = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
                              (n, offs_x.shape[0]))
-    slot = jnp.where(ov, C[t_lin, j_idx] - 1, M)
+    slot = jnp.where(ov, C[t_lin, j_idx].astype(jnp.int32) - 1, M)
     slot = jnp.minimum(slot, M)                                  # overflow -> trash
     tile_indices = jnp.zeros((T, M + 1), jnp.int32)
+    # Each (tile, slot) target is hit by at most one pair (slots are ranks
+    # within a tile; dead pairs all land in the trash column M and are
+    # dropped) — declaring uniqueness lets XLA skip the serialization the
+    # general scatter needs.
     tile_indices = tile_indices.at[t_lin, slot].set(
-        j_idx, mode="drop")[:, :M]
-    count = jnp.minimum(C[:, -1], M)
+        j_idx, mode="drop", unique_indices=True)[:, :M]
+    count = jnp.minimum(C[:, -1].astype(jnp.int32), M)
     tile_valid = (
         jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
     )
