@@ -133,7 +133,7 @@ def _alpha_chunk(F, px, py):
 
 
 def _fwd_kernel(n_tiles_x: int,
-                gauss_ref, onehot_ref, out_ref, t_ref, acc_ref):
+                gauss_ref, onehot_ref, cnt_ref, out_ref, t_ref, acc_ref):
     g = pl.program_id(0)
     j = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -144,21 +144,28 @@ def _fwd_kernel(n_tiles_x: int,
         acc_ref[0:4] = jnp.zeros((4, TS, TS * GROUP), jnp.float32)
         acc_ref[4] = jnp.ones((TS, TS * GROUP), jnp.float32)
 
-    F = _fields(gauss_ref, onehot_ref[:])
-    _, _, alpha, _, _ = _alpha_chunk(F, px, py)
+    # Occupancy early-out: chunks beyond the group's max per-tile count hold
+    # only sentinel slots (opacity 0) and contribute nothing — skip the VPU
+    # work entirely.  Typical tiles fill a fraction of the static capacity.
+    maxc = jnp.max(cnt_ref[0, 0])
 
-    T_in = acc_ref[4]
-    one_m = 1.0 - alpha
-    T_inc = _cumprod0(one_m)                                # (C, 16, 128)
-    T_excl = jnp.concatenate(
-        [jnp.ones((1, TS, TS * GROUP), jnp.float32), T_inc[:-1]], axis=0)
-    w = alpha * T_excl * T_in[None]
+    @pl.when((j * CHUNK) < maxc)
+    def _():
+        F = _fields(gauss_ref, onehot_ref[:])
+        _, _, alpha, _, _ = _alpha_chunk(F, px, py)
 
-    acc_ref[0] = acc_ref[0] + jnp.sum(w * F["cR"], axis=0)
-    acc_ref[1] = acc_ref[1] + jnp.sum(w * F["cG"], axis=0)
-    acc_ref[2] = acc_ref[2] + jnp.sum(w * F["cB"], axis=0)
-    acc_ref[3] = acc_ref[3] + jnp.sum(w * F["dep"], axis=0)
-    acc_ref[4] = T_in * T_inc[CHUNK - 1]
+        T_in = acc_ref[4]
+        one_m = 1.0 - alpha
+        T_inc = _cumprod0(one_m)                            # (C, 16, 128)
+        T_excl = jnp.concatenate(
+            [jnp.ones((1, TS, TS * GROUP), jnp.float32), T_inc[:-1]], axis=0)
+        w = alpha * T_excl * T_in[None]
+
+        acc_ref[0] = acc_ref[0] + jnp.sum(w * F["cR"], axis=0)
+        acc_ref[1] = acc_ref[1] + jnp.sum(w * F["cG"], axis=0)
+        acc_ref[2] = acc_ref[2] + jnp.sum(w * F["cB"], axis=0)
+        acc_ref[3] = acc_ref[3] + jnp.sum(w * F["dep"], axis=0)
+        acc_ref[4] = T_in * T_inc[CHUNK - 1]
 
     @pl.when(j == n_chunks - 1)
     def _():
@@ -171,7 +178,7 @@ def _fwd_kernel(n_tiles_x: int,
 
 def _bwd_kernel(n_tiles_x: int,
                 gauss_ref, out_ref, gout_ref, gt_ref, tfin_ref, onehot_ref,
-                grad_ref, carry_ref):
+                cnt_ref, grad_ref, carry_ref):
     g = pl.program_id(0)
     j = pl.program_id(1)
     px, py = _pixel_coords(g, n_tiles_x)
@@ -193,6 +200,25 @@ def _bwd_kernel(n_tiles_x: int,
         carry_ref[3] = out_ref[0, 2]
         carry_ref[4] = out_ref[0, 3]
 
+    # Same occupancy early-out as the forward; skipped chunks are all
+    # sentinel slots: zero contribution forward, zero gradient back, and the
+    # carry (T, suffix sums) is unchanged.  The grad block must still be
+    # written — it is a per-(group, chunk) output.
+    maxc = jnp.max(cnt_ref[0, 0])
+    active = (j * CHUNK) < maxc
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        grad_ref[0, 0] = jnp.zeros((GROUP, PACK * CHUNK), jnp.float32)
+
+    @pl.when(active)
+    def _():
+        _bwd_chunk_body(gauss_ref, onehot, grad_ref, carry_ref,
+                        px, py, gR, gG, gB, gD, gT, T_fin)
+
+
+def _bwd_chunk_body(gauss_ref, onehot, grad_ref, carry_ref,
+                    px, py, gR, gG, gB, gD, gT, T_fin):
     F = _fields(gauss_ref, onehot)
     e, alpha_raw, alpha, dx, dy = _alpha_chunk(F, px, py)
 
@@ -255,7 +281,8 @@ def _bwd_kernel(n_tiles_x: int,
     carry_ref[4] = SD_after[CHUNK - 1]
 
 
-def _run_forward(g_pack: jax.Array, n_tiles_x: int, interpret: bool):
+def _run_forward(g_pack: jax.Array, counts: jax.Array, n_tiles_x: int,
+                 interpret: bool):
     n_groups, n_chunks, _, _ = g_pack.shape
     onehot = jnp.asarray(_stripe_onehot())
     out, t = pl.pallas_call(
@@ -266,6 +293,8 @@ def _run_forward(g_pack: jax.Array, n_tiles_x: int, interpret: bool):
                          lambda g, j: (g, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),          # onehot
+            pl.BlockSpec((1, 1, 128), lambda g, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),          # counts
         ],
         out_specs=[
             pl.BlockSpec((1, 4, TS, TS * GROUP), lambda g, j: (g, 0, 0, 0),
@@ -282,11 +311,11 @@ def _run_forward(g_pack: jax.Array, n_tiles_x: int, interpret: bool):
             vmem_limit_bytes=64 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(g_pack, onehot)
+    )(g_pack, onehot, counts)
     return out, t[:, 0]
 
 
-def _run_backward(g_pack, out, g_out, g_t, t_fin, n_tiles_x: int,
+def _run_backward(g_pack, counts, out, g_out, g_t, t_fin, n_tiles_x: int,
                   interpret: bool):
     n_groups, n_chunks, _, _ = g_pack.shape
     onehot = jnp.asarray(_stripe_onehot())
@@ -310,6 +339,8 @@ def _run_backward(g_pack, out, g_out, g_t, t_fin, n_tiles_x: int,
             pl.BlockSpec((1, 1, TS, TS * GROUP), group_spec,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),          # onehot
+            pl.BlockSpec((1, 1, 128), lambda g, j: (g, 0, 0),
+                         memory_space=pltpu.VMEM),          # counts
         ],
         out_specs=pl.BlockSpec((1, 1, GROUP, PACK * CHUNK),
                                lambda g, j: (g, j, 0, 0),
@@ -321,31 +352,33 @@ def _run_backward(g_pack, out, g_out, g_t, t_fin, n_tiles_x: int,
             vmem_limit_bytes=64 * 1024 * 1024,
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(g_pack, out, g_out, g_t[:, None], t_fin[:, None], onehot)
+    )(g_pack, out, g_out, g_t[:, None], t_fin[:, None], onehot, counts)
     return grads
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def composite_pallas(g_pack: jax.Array, n_tiles_x: int,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def composite_pallas(g_pack: jax.Array, counts: jax.Array, n_tiles_x: int,
                      interpret: bool = False):
     """g_pack: (n_groups, n_chunks, GROUP, PACK*CHUNK) binned, depth-ordered,
     FIELD-MAJOR-packed Gaussians (see module docstring; masked entries must
-    have opacity 0).  Returns (out (n_groups, 4, 16, 128) premultiplied
-    [R,G,B,depth], T (n_groups, 16, 128) transmittance)."""
-    return _run_forward(g_pack, n_tiles_x, interpret)
+    have opacity 0).  counts: (n_groups, 1, 128) f32, lane b < GROUP holding
+    tile b's occupied-slot count (chunks past the group max are skipped).
+    Returns (out (n_groups, 4, 16, 128) premultiplied [R,G,B,depth],
+    T (n_groups, 16, 128) transmittance)."""
+    return _run_forward(g_pack, counts, n_tiles_x, interpret)
 
 
-def _composite_fwd(g_pack, n_tiles_x, interpret):
-    out, t = _run_forward(g_pack, n_tiles_x, interpret)
-    return (out, t), (g_pack, out, t)
+def _composite_fwd(g_pack, counts, n_tiles_x, interpret):
+    out, t = _run_forward(g_pack, counts, n_tiles_x, interpret)
+    return (out, t), (g_pack, counts, out, t)
 
 
 def _composite_bwd(n_tiles_x, interpret, res, cots):
-    g_pack, out, t_fin = res
+    g_pack, counts, out, t_fin = res
     g_out, g_t = cots
-    grads = _run_backward(g_pack, out, g_out, g_t, t_fin, n_tiles_x,
+    grads = _run_backward(g_pack, counts, out, g_out, g_t, t_fin, n_tiles_x,
                           interpret)
-    return (grads,)
+    return (grads, jnp.zeros_like(counts))
 
 
 composite_pallas.defvjp(_composite_fwd, _composite_bwd)
@@ -378,7 +411,7 @@ def composite_tiles_pallas(
 
 
 def composite_tiles_pallas_packed(
-    pack, n_tiles_x: int, interpret: bool = False,
+    pack, n_tiles_x: int, interpret: bool = False, counts=None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Packed-input adapter: pack is (T, M, PACK) with field order
     [mean(2), conic(3), radius(1), color(3), opacity(1), depth(1), pad(1)],
@@ -400,7 +433,16 @@ def composite_tiles_pallas_packed(
     pack = pack.transpose(0, 2, 1, 4, 3).reshape(
         n_groups, n_chunks, GROUP, PACK * CHUNK)
 
-    out, t = composite_pallas(pack, n_tiles_x, interpret)
+    # Per-tile occupancy lanes for the kernel's chunk early-out; without
+    # counts every chunk is treated as occupied.
+    if counts is None:
+        cnt = jnp.full((T_tiles,), float(m_cap), jnp.float32)
+    else:
+        cnt = jax.lax.stop_gradient(counts).astype(jnp.float32)
+    cnt = jnp.pad(cnt, (0, pad_t)).reshape(n_groups, 1, GROUP)
+    cnt = jnp.pad(cnt, ((0, 0), (0, 0), (0, 128 - GROUP)))
+
+    out, t = composite_pallas(pack, cnt, n_tiles_x, interpret)
 
     # (n_groups, 4, 16, 128) -> per-tile (T, 256, 4)
     out = out.reshape(n_groups, 4, TS, GROUP, TS).transpose(0, 3, 2, 4, 1)

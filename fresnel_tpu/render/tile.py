@@ -361,7 +361,8 @@ def render_tiled(
         # g_pack is already kernel-ready: sentinel row supplied the
         # opacity-0 / radius -1 masking and the radius grad is stopped.
         acc_c, acc_d, Tr = composite_tiles_pallas_packed(
-            g_pack, n_tiles_x, interpret=cfg.pallas_interpret)
+            g_pack, n_tiles_x, interpret=cfg.pallas_interpret,
+            counts=jnp.sum(tile_valid, axis=1))
     else:
         acc_c, acc_d, Tr = _composite_tiles(
             px, py, g_mean, g_conic, g_color, g_op, g_depth, g_radius,
