@@ -249,6 +249,8 @@ def cmd_eval(args) -> int:
 
 
 def main(argv=None) -> int:
+    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(prog="fresnel")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -328,6 +328,8 @@ class CVSTrainer:
 
 
 def main(argv=None):
+    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="CVS consistency training (TPU)")
     p.add_argument("--output_dir", default="checkpoints_cvs")
     p.add_argument("--epochs", type=int, default=50)

@@ -87,6 +87,8 @@ def depth_losses(pred, target):
 
 
 def main(argv=None):
+    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="Train a tiny depth model")
     p.add_argument("--data_dir", default="depth_data")
     p.add_argument("--output_dir", default="checkpoints_depth")

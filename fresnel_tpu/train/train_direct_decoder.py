@@ -223,6 +223,8 @@ class V2Trainer:
 
 
 def main(argv=None):
+    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="Fresnel v2 distillation (TPU)")
     p.add_argument("--data_dir", default="trellis_data")
     p.add_argument("--output_dir", default="checkpoints_v2")

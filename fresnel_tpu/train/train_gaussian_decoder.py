@@ -189,6 +189,8 @@ def configs_from_args(args):
 
 
 def main(argv=None):
+    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config, physics, hfgs, hfts = configs_from_args(args)
 
