@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,10 @@ class CVSConfig:
     num_timesteps: int = 1000
     ema_decay: float = 0.9999
     num_image_tokens: int = 256
+    # Computation dtype for the U-Net / adapters (flax convention: params
+    # stay float32, layers cast to `dtype` for compute).  bfloat16 here is
+    # the TPU mixed-precision fast path (--use_amp).
+    dtype: Optional[Any] = None
 
     @property
     def channels(self):
@@ -72,20 +76,22 @@ class ResBlock(nn.Module):
     out_channels: int
     time_embed_dim: int
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, t_emb, deterministic: bool = True):
         """x: (B, H, W, C) NHWC."""
+        dt = self.dtype
         in_ch = x.shape[-1]
-        h = nn.silu(nn.GroupNorm(num_groups=32)(x))
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
-        temb = nn.Dense(self.out_channels)(nn.silu(t_emb))
+        h = nn.silu(nn.GroupNorm(num_groups=32, dtype=dt)(x))
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=dt)(h)
+        temb = nn.Dense(self.out_channels, dtype=dt)(nn.silu(t_emb))
         h = h + temb[:, None, None, :]
-        h = nn.silu(nn.GroupNorm(num_groups=32)(h))
+        h = nn.silu(nn.GroupNorm(num_groups=32, dtype=dt)(h))
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME")(h)
-        skip = (nn.Conv(self.out_channels, (1, 1))(x)
+        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=dt)(h)
+        skip = (nn.Conv(self.out_channels, (1, 1), dtype=dt)(x)
                 if in_ch != self.out_channels else x)
         return h + skip
 
@@ -95,34 +101,38 @@ class CrossAttention2D(nn.Module):
 
     heads: int = 8
     dim_head: int = 64
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context):
         """x: (B, H, W, C); context: (B, M, D)."""
+        dt = self.dtype
         B, H, W, C = x.shape
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, use_bias=False)(x.reshape(B, H * W, C))
-        k = nn.Dense(inner, use_bias=False)(context)
-        v = nn.Dense(inner, use_bias=False)(context)
+        q = nn.Dense(inner, use_bias=False, dtype=dt)(x.reshape(B, H * W, C))
+        k = nn.Dense(inner, use_bias=False, dtype=dt)(context)
+        v = nn.Dense(inner, use_bias=False, dtype=dt)(context)
         q = q.reshape(B, H * W, self.heads, self.dim_head)
         k = k.reshape(B, -1, self.heads, self.dim_head)
         v = v.reshape(B, -1, self.heads, self.dim_head)
         attn = jax.nn.softmax(
             jnp.einsum("bnhd,bmhd->bhnm", q, k) * self.dim_head ** -0.5, -1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, H * W, inner)
-        return nn.Dense(C)(out).reshape(B, H, W, C)
+        return nn.Dense(C, dtype=dt)(out).reshape(B, H, W, C)
 
 
 class FresnelWaveAttention(nn.Module):
     """Self-attention + cosine interference over pairwise pixel distances."""
 
     heads: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
+        dt = self.dtype
         B, H, W, C = x.shape
         dh = C // self.heads
-        qkv = nn.Dense(3 * C, use_bias=False)(x.reshape(B, H * W, C))
+        qkv = nn.Dense(3 * C, use_bias=False, dtype=dt)(x.reshape(B, H * W, C))
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, H * W, self.heads, dh)
         k = k.reshape(B, H * W, self.heads, dh)
@@ -137,36 +147,43 @@ class FresnelWaveAttention(nn.Module):
         diff = pos[:, None, :] - pos[None, :, :]
         dist = jnp.sqrt(jnp.sum(diff * diff, -1) + 1e-8)
         phase = 2.0 * jnp.pi * dist / (jnp.abs(wavelength) * H + 1e-6)
-        dots = dots + jnp.cos(phase)[None, None] * 0.1
+        # The interference bias is cast to the activation dtype so an fp32
+        # bias doesn't silently upcast the whole attention under bf16.
+        dots = dots + (jnp.cos(phase)[None, None] * 0.1).astype(dots.dtype)
 
         attn = jax.nn.softmax(dots, -1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, H * W, C)
-        return nn.Dense(C)(out).reshape(B, H, W, C)
+        return nn.Dense(C, dtype=dt)(out).reshape(B, H, W, C)
 
 
 class AttentionBlock(nn.Module):
     use_fresnel: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context):
-        h = nn.GroupNorm(num_groups=32)(x)
+        dt = self.dtype
+        h = nn.GroupNorm(num_groups=32, dtype=dt)(x)
         if self.use_fresnel:
-            h = FresnelWaveAttention()(h)
+            h = FresnelWaveAttention(dtype=dt)(h)
         else:
-            h = CrossAttention2D()(h, h.reshape(h.shape[0], -1, h.shape[-1]))
+            h = CrossAttention2D(dtype=dt)(
+                h, h.reshape(h.shape[0], -1, h.shape[-1]))
         x = x + h
-        h = nn.GroupNorm(num_groups=32)(x)
-        return x + CrossAttention2D()(h, context)
+        h = nn.GroupNorm(num_groups=32, dtype=dt)(x)
+        return x + CrossAttention2D(dtype=dt)(h, context)
 
 
 class PluckerPoseEncoder(nn.Module):
     embed_dim: int = 256
     cross_attention_dim: int = 384
     num_queries: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, R_rel: jax.Array, t_rel: jax.Array) -> jax.Array:
         """(B,3,3), (B,3) -> (B, 16, cross_attention_dim)."""
+        dt = self.dtype
         B = R_rel.shape[0]
         r6d = R_rel[:, :, :2].reshape(B, 6)
         d = t_rel / jnp.maximum(
@@ -174,14 +191,14 @@ class PluckerPoseEncoder(nn.Module):
         m = jnp.cross(jnp.zeros_like(t_rel), d)
         plucker = jnp.concatenate([d, m], -1)
         raw = jnp.concatenate([r6d, t_rel, plucker], -1)     # (B, 15)
-        h = nn.silu(nn.Dense(128)(raw))
-        h = nn.silu(nn.Dense(256)(h))
-        h = nn.LayerNorm()(nn.Dense(self.embed_dim)(h))
-        pose = nn.Dense(self.cross_attention_dim)(h)
+        h = nn.silu(nn.Dense(128, dtype=dt)(raw))
+        h = nn.silu(nn.Dense(256, dtype=dt)(h))
+        h = nn.LayerNorm(dtype=dt)(nn.Dense(self.embed_dim, dtype=dt)(h))
+        pose = nn.Dense(self.cross_attention_dim, dtype=dt)(h)
         queries = self.param(
             "pose_queries", nn.initializers.normal(0.02),
             (self.num_queries, self.cross_attention_dim))
-        return queries[None] + pose[:, None, :]
+        return queries.astype(pose.dtype)[None] + pose[:, None, :]
 
 
 class ImageFeatureAdapter(nn.Module):
@@ -189,21 +206,24 @@ class ImageFeatureAdapter(nn.Module):
     out_dim: int = 384
     num_tokens: int = 256
     grid_tokens: int = 1369
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features: jax.Array) -> jax.Array:
         """(B, 37, 37, C) -> (B, num_tokens, out_dim)."""
+        dt = self.dtype
         B = features.shape[0]
         x = features.reshape(B, -1, features.shape[-1])
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (self.grid_tokens, self.in_dim))
         x = x + pos[: x.shape[1]][None]
-        x = nn.silu(nn.Dense(self.out_dim)(x))
-        x = nn.LayerNorm()(nn.Dense(self.out_dim)(x))
+        x = nn.silu(nn.Dense(self.out_dim, dtype=dt)(x))
+        x = nn.LayerNorm(dtype=dt)(nn.Dense(self.out_dim, dtype=dt)(x))
         queries = self.param("compress_queries", nn.initializers.normal(0.02),
                              (self.num_tokens, self.out_dim))
-        q = jnp.broadcast_to(queries[None], (B,) + queries.shape)
-        return nn.MultiHeadDotProductAttention(num_heads=8)(q, x, x)
+        q = jnp.broadcast_to(queries.astype(x.dtype)[None],
+                             (B,) + queries.shape)
+        return nn.MultiHeadDotProductAttention(num_heads=8, dtype=dt)(q, x, x)
 
 
 class ConsistencyUNet(nn.Module):
@@ -215,53 +235,58 @@ class ConsistencyUNet(nn.Module):
         """x: (B, 3, H, W) noisy image; t: (B,) timesteps.
         Returns x0 prediction (B, 3, H, W)."""
         cfg = self.config
+        dt = cfg.dtype
         x = jnp.transpose(x, (0, 2, 3, 1))                   # NHWC
 
         t_emb = sinusoidal_embed(t, cfg.time_embed_dim)
-        t_emb = nn.Dense(cfg.time_embed_dim * 4)(t_emb)
-        t_emb = nn.Dense(cfg.time_embed_dim)(nn.silu(t_emb))
+        t_emb = nn.Dense(cfg.time_embed_dim * 4, dtype=dt)(t_emb)
+        t_emb = nn.Dense(cfg.time_embed_dim, dtype=dt)(nn.silu(t_emb))
 
-        h = nn.Conv(cfg.base_channels, (3, 3), padding="SAME")(x)
+        h = nn.Conv(cfg.base_channels, (3, 3), padding="SAME", dtype=dt)(x)
         res = cfg.image_size
         skips = []
 
         # Encoder: one skip per level, downsample between levels.
         for i, ch in enumerate(cfg.channels):
             for _ in range(cfg.num_res_blocks):
-                h = ResBlock(ch, cfg.time_embed_dim)(h, t_emb, deterministic)
+                h = ResBlock(ch, cfg.time_embed_dim, dtype=dt)(
+                    h, t_emb, deterministic)
             if res in cfg.attention_resolutions:
-                h = AttentionBlock()(h, image_cond)
+                h = AttentionBlock(dtype=dt)(h, image_cond)
             skips.append(h)
             if i < len(cfg.channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME")(h)
+                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding="SAME",
+                            dtype=dt)(h)
                 res //= 2
 
         # Middle with pose injection.
         mid = cfg.channels[-1]
-        h = ResBlock(mid, cfg.time_embed_dim)(h, t_emb, deterministic)
-        h = AttentionBlock()(h, image_cond)
-        pose_feat = nn.Dense(mid)(jnp.mean(pose_cond, axis=1))
+        h = ResBlock(mid, cfg.time_embed_dim, dtype=dt)(h, t_emb, deterministic)
+        h = AttentionBlock(dtype=dt)(h, image_cond)
+        pose_feat = nn.Dense(mid, dtype=dt)(jnp.mean(pose_cond, axis=1))
         h = h + pose_feat[:, None, None, :]
-        h = AttentionBlock()(h, pose_cond)
-        h = ResBlock(mid, cfg.time_embed_dim)(h, t_emb, deterministic)
+        h = AttentionBlock(dtype=dt)(h, pose_cond)
+        h = ResBlock(mid, cfg.time_embed_dim, dtype=dt)(h, t_emb, deterministic)
 
         # Decoder: pop the matching-resolution skip, upsample between levels.
         for i, ch in enumerate(reversed(cfg.channels)):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
             for _ in range(cfg.num_res_blocks):
-                h = ResBlock(ch, cfg.time_embed_dim)(h, t_emb, deterministic)
+                h = ResBlock(ch, cfg.time_embed_dim, dtype=dt)(
+                    h, t_emb, deterministic)
             if res in cfg.attention_resolutions:
-                h = AttentionBlock()(h, image_cond)
+                h = AttentionBlock(dtype=dt)(h, image_cond)
             if i < len(cfg.channels) - 1:
                 B, H, W, C = h.shape
                 h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
-                h = nn.Conv(C, (3, 3), padding="SAME")(h)
+                h = nn.Conv(C, (3, 3), padding="SAME", dtype=dt)(h)
                 res *= 2
 
-        h = nn.silu(nn.GroupNorm(num_groups=32)(
-            nn.Conv(cfg.base_channels, (3, 3), padding="SAME")(h)))
-        out = nn.Conv(3, (3, 3), padding="SAME")(h)
+        h = nn.silu(nn.GroupNorm(num_groups=32, dtype=dt)(
+            nn.Conv(cfg.base_channels, (3, 3), padding="SAME", dtype=dt)(h)))
+        # Output head in float32: the x0 prediction feeds fp32 loss math.
+        out = nn.Conv(3, (3, 3), padding="SAME")(h.astype(jnp.float32))
         return jnp.transpose(out, (0, 3, 1, 2))              # NCHW
 
 
@@ -272,10 +297,10 @@ class ConsistencyViewSynthesizer(nn.Module):
         cfg = self.config
         self.image_adapter = ImageFeatureAdapter(
             in_dim=cfg.image_embed_dim, out_dim=cfg.cross_attention_dim,
-            num_tokens=cfg.num_image_tokens)
+            num_tokens=cfg.num_image_tokens, dtype=cfg.dtype)
         self.pose_encoder = PluckerPoseEncoder(
             embed_dim=cfg.pose_embed_dim,
-            cross_attention_dim=cfg.cross_attention_dim)
+            cross_attention_dim=cfg.cross_attention_dim, dtype=cfg.dtype)
         self.unet = ConsistencyUNet(cfg)
 
     def schedule(self):

@@ -20,7 +20,7 @@ per-batch lists; remat (jax.checkpoint) replaces torch gradient checkpointing.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +53,7 @@ class CrossAttention(nn.Module):
     dim: int
     num_heads: int = 8
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context, mask=None, deterministic: bool = True):
@@ -60,13 +61,14 @@ class CrossAttention(nn.Module):
         M = context.shape[1]
         h = self.num_heads
         hd = D // h
-        q = nn.Dense(D, name="q")(x).reshape(B, N, h, hd)
-        kv = nn.Dense(2 * D, name="kv")(context).reshape(B, M, 2, h, hd)
+        q = nn.Dense(D, name="q", dtype=self.dtype)(x).reshape(B, N, h, hd)
+        kv = nn.Dense(2 * D, name="kv", dtype=self.dtype)(
+            context).reshape(B, M, 2, h, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (hd ** -0.5)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
-        out = nn.Dense(D, name="proj")(out)
+        out = nn.Dense(D, name="proj", dtype=self.dtype)(out)
         if mask is not None:
             out = out * mask[..., None]
         return out
@@ -75,21 +77,25 @@ class CrossAttention(nn.Module):
 class SelfAttention(nn.Module):
     dim: int
     num_heads: int = 8
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask=None):
         B, N, D = x.shape
         h = self.num_heads
         hd = D // h
-        qkv = nn.Dense(3 * D, name="qkv")(x).reshape(B, N, 3, h, hd)
+        qkv = nn.Dense(3 * D, name="qkv", dtype=self.dtype)(
+            x).reshape(B, N, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         attn = jnp.einsum("bnhd,bmhd->bhnm", q, k) * (hd ** -0.5)
         if mask is not None:
+            # Cast the additive mask to the attention dtype: an fp32 bias
+            # would silently upcast the whole block under bf16 compute.
             bias = jnp.where(mask[:, None, None, :], 0.0, -1e9)
-            attn = attn + bias
+            attn = attn + bias.astype(attn.dtype)
         attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
-        return nn.Dense(D, name="proj")(out)
+        return nn.Dense(D, name="proj", dtype=self.dtype)(out)
 
 
 class SparseTransformerBlock(nn.Module):
@@ -97,17 +103,21 @@ class SparseTransformerBlock(nn.Module):
     num_heads: int = 8
     mlp_ratio: float = 4.0
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, context, mask=None, deterministic: bool = True):
-        x = x + SelfAttention(self.dim, self.num_heads)(
-            nn.LayerNorm()(x), mask)
-        x = x + CrossAttention(self.dim, self.num_heads)(
-            nn.LayerNorm()(x), context, mask, deterministic)
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio))(h)
+        # Pre-norm blocks: LayerNorm(dtype) casts into bf16 before each
+        # matmul; the residual stream stays in the caller's precision.
+        dt = self.dtype
+        x = x + SelfAttention(self.dim, self.num_heads, dtype=dt)(
+            nn.LayerNorm(dtype=dt)(x), mask)
+        x = x + CrossAttention(self.dim, self.num_heads, dtype=dt)(
+            nn.LayerNorm(dtype=dt)(x), context, mask, deterministic)
+        h = nn.LayerNorm(dtype=dt)(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=dt)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.dim)(h)
+        h = nn.Dense(self.dim, dtype=dt)(h)
         if self.dropout > 0:
             h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         return x + h
@@ -177,6 +187,10 @@ class DirectSLatDecoder(nn.Module):
     use_checkpoint: bool = False
     predict_occupancy: bool = True
     occupancy_threshold: float = 0.5
+    # bf16 computation dtype for the transformer stack (params stay fp32;
+    # heads always compute fp32) — the TPU equivalent of the reference's
+    # AMP autocast in this model's trainer.
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -192,7 +206,8 @@ class DirectSLatDecoder(nn.Module):
         coords = coords.at[..., 1:4].set(
             jnp.clip(coords[..., 1:4], 0, self.max_resolution - 1))
 
-        context = nn.Dense(self.hidden_dim, name="feature_proj")(features)
+        context = nn.Dense(self.hidden_dim, name="feature_proj",
+                           dtype=self.dtype)(features)
         pos = PositionalEncoding3D(self.hidden_dim, self.max_resolution)(coords)
         voxel_embed = self.param(
             "voxel_embed", nn.initializers.normal(0.02),
@@ -203,9 +218,11 @@ class DirectSLatDecoder(nn.Module):
                     if self.use_checkpoint else SparseTransformerBlock)
         for i in range(self.num_layers):
             x = BlockCls(self.hidden_dim, self.num_heads,
-                         dropout=self.dropout, name=f"block_{i}")(
+                         dropout=self.dropout, dtype=self.dtype,
+                         name=f"block_{i}")(
                              x, context, coord_mask, deterministic)
-        x = nn.LayerNorm()(x)
+        # Final norm + heads in fp32 (position/opacity precision matters).
+        x = nn.LayerNorm()(x.astype(jnp.float32))
 
         result: Dict[str, jax.Array] = {}
         gaussians = GaussianHead(

@@ -42,9 +42,14 @@ def constrain_wavelength(raw, lo: float = 0.01, hi: float = 0.5):
 
 
 def sobel_gradients(img: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Sobel x/y gradients of (..., H, W) maps via depthwise 3x3 convolution."""
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32)
-    ky = jnp.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], jnp.float32)
+    """Sobel x/y gradients of (..., H, W) maps via depthwise 3x3 convolution.
+
+    Kernels match the input dtype (lax.conv requires it), so this works
+    under bf16 mixed precision as well as fp32.
+    """
+    kdt = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], kdt)
+    ky = jnp.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], kdt)
     lead = img.shape[:-2]
     x = img.reshape((-1, 1) + img.shape[-2:])
 

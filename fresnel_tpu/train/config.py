@@ -81,6 +81,10 @@ class TrainingConfig:
     # TPU-native additions (no reference equivalent):
     num_devices: Optional[int] = None  # data-parallel devices (None = all)
     seed: int = 0
+    # bf16 mixed precision — the TPU-native equivalent of the reference's
+    # torch.cuda.amp usage (reference: train_direct_decoder.py AMP+scaler).
+    # Decoder forward runs in bfloat16; render/loss/optimizer stay float32.
+    use_amp: bool = False
 
 
 @dataclasses.dataclass

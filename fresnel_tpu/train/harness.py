@@ -260,14 +260,23 @@ class Trainer:
             else:
                 el = az = jnp.zeros((B,))
 
+            # bf16 mixed precision: decoder matmuls run on the MXU in
+            # bfloat16 (params/inputs cast inside the differentiated fn, so
+            # grads come back float32 against the float32 master params);
+            # SAAG geometry, rendering, and losses stay float32.
+            from fresnel_tpu.utils.precision import amp_apply
+
+            def apply_amp(p, *a, **kw):
+                return amp_apply(model.apply, p, *a, use_amp=cfg.use_amp, **kw)
+
             rngs = {"dropout": rng_drop}
             if cfg.experiment == 1:
                 saag = saag_prior_from_depth(depth)
-                out = model.apply(params["model"], feats, **saag,
-                                  deterministic=False, rngs=rngs)
+                out = apply_amp(params["model"], feats, **saag,
+                                deterministic=False, rngs=rngs)
             elif cfg.experiment == 3:
                 saag = saag_prior_from_depth(depth)
-                mods = model.apply(params["model"], feats)
+                mods = apply_amp(params["model"], feats)
                 # Reference training applies the patch-mean modulations
                 # globally (train_gaussian_decoder.py:1140-1151).
                 size_m = jnp.mean(mods["base_size_mult"], axis=(1, 2))
@@ -286,8 +295,8 @@ class Trainer:
                     kwargs.update(elevation=el, azimuth=az)
                 if cfg.experiment == 5:
                     rngs["nca"] = jax.random.fold_in(rng_drop, 1)
-                out = model.apply(params["model"], feats, depth,
-                                  deterministic=False, rngs=rngs, **kwargs)
+                out = apply_amp(params["model"], feats, depth,
+                                deterministic=False, rngs=rngs, **kwargs)
 
             phases = out.get("phases")
             pos, sc, rot = out["positions"], out["scales"], out["rotations"]

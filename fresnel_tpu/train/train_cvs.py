@@ -106,6 +106,7 @@ class CVSTrainConfig:
     lambda_perceptual: float = 0.5
     consistency_ramp_epochs: int = 10   # progressive consistency weight ramp
     use_quality_aware: bool = False     # depth-Laplacian quality masking
+    use_amp: bool = False               # bf16 U-Net compute (fp32 master)
     ema_decay: float = 0.9999
     save_interval: int = 10
     seed: int = 0
@@ -117,10 +118,16 @@ class CVSTrainer:
         import flax.linen as nn
         import optax
 
+        import jax.numpy as jnp
+
         self.cfg = cfg
+        # use_amp -> bf16 computation dtype threaded through the U-Net
+        # (flax casts params+activations per layer; master params stay fp32
+        # and the output head is always fp32 — see models/cvs.py).
         self.model_config = CVSConfig(
             image_size=cfg.image_size, base_channels=cfg.base_channels,
-            ema_decay=cfg.ema_decay)
+            ema_decay=cfg.ema_decay,
+            dtype=jnp.bfloat16 if cfg.use_amp else None)
         self.model = ConsistencyViewSynthesizer(self.model_config)
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(1.0), optax.adamw(cfg.lr))
@@ -191,6 +198,8 @@ class CVSTrainer:
             timestep = jax.random.randint(r1, (B,), 0, nt)
             noise = jax.random.normal(
                 r2, batch["target_image"].shape, jnp.float32)
+            # Under use_amp the U-Net computes in bf16 via its dtype attr
+            # (set at model construction); loss math here stays float32.
             out = model.apply(
                 params, batch["input_image"], batch["features"],
                 batch["R_rel"], batch["t_rel"],
@@ -339,6 +348,8 @@ def main(argv=None):
     p.add_argument("--base_channels", type=int, default=64)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--use_quality_aware", action="store_true")
+    p.add_argument("--use_amp", action="store_true",
+                   help="bf16 U-Net compute (fp32 master weights)")
     p.add_argument("--n_scenes", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -347,7 +358,8 @@ def main(argv=None):
         output_dir=args.output_dir, epochs=args.epochs,
         batch_size=args.batch_size, lr=args.lr, image_size=args.image_size,
         base_channels=args.base_channels,
-        use_quality_aware=args.use_quality_aware, seed=args.seed)
+        use_quality_aware=args.use_quality_aware, use_amp=args.use_amp,
+        seed=args.seed)
     dataset = GaussianBootstrapDataset(
         n_scenes=args.n_scenes, image_size=cfg.image_size, seed=cfg.seed)
     print(f"dataset: {len(dataset)} view pairs")

@@ -43,6 +43,11 @@ class V2Config:
     render_size: int = 128
     training_mode: str = "structure_supervised"  # | end_to_end
     use_checkpoint: bool = False
+    # bf16 mixed precision — TPU-native equivalent of the reference's
+    # torch.cuda.amp autocast + GradScaler in this trainer (reference:
+    # scripts/training/train_direct_decoder.py).  bf16 keeps fp32's
+    # exponent, so no loss scaling is needed; params/opt stay fp32.
+    use_amp: bool = False
     max_match_points: int = 4096
     save_interval: int = 10
     seed: int = 0
@@ -50,12 +55,15 @@ class V2Config:
 
 def build_model(cfg: V2Config):
     if cfg.decoder_type == "transformer":
+        import jax.numpy as jnp
+
         from fresnel_tpu.models.slat import DirectSLatDecoder
         return DirectSLatDecoder(
             feature_dim=cfg.feature_dim, hidden_dim=cfg.hidden_dim,
             num_layers=cfg.num_layers, num_heads=cfg.num_heads,
             num_gaussians_per_voxel=cfg.num_gaussians_per_voxel,
-            use_checkpoint=cfg.use_checkpoint)
+            use_checkpoint=cfg.use_checkpoint,
+            dtype=jnp.bfloat16 if cfg.use_amp else None)
     from fresnel_tpu.models.slat import MLPSLatDecoder
     return MLPSLatDecoder(
         feature_dim=cfg.feature_dim, hidden_dim=cfg.hidden_dim,
@@ -101,6 +109,9 @@ class V2Trainer:
         optimizer = self.optimizer
 
         def loss_fn(params, batch, rng):
+            # Under --use_amp the transformer computes in bf16 via its dtype
+            # attribute (set in build_model); Chamfer matching / BCE /
+            # render losses and the heads stay float32.
             out = model.apply(
                 params, batch["features"], batch["coords"],
                 coord_mask=batch["coord_mask"], deterministic=False,
@@ -244,6 +255,8 @@ def main(argv=None):
     p.add_argument("--training_mode", default="structure_supervised",
                    choices=["structure_supervised", "end_to_end"])
     p.add_argument("--use_checkpoint", action="store_true")
+    p.add_argument("--use_amp", action="store_true",
+                   help="bf16 mixed precision (reference AMP parity)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_samples", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
@@ -259,7 +272,8 @@ def main(argv=None):
         occupancy_weight=args.occupancy_weight,
         use_render_loss=args.use_render_loss,
         training_mode=args.training_mode,
-        use_checkpoint=args.use_checkpoint, seed=args.seed)
+        use_checkpoint=args.use_checkpoint, use_amp=args.use_amp,
+        seed=args.seed)
 
     if args.synthetic:
         from fresnel_tpu.data.trellis import SyntheticTrellisDataset

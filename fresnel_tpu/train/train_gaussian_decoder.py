@@ -98,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=None,
                    help="Data-parallel devices (default: 1; >1 builds a mesh)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_amp", action="store_true",
+                   help="bf16 decoder compute (fp32 master weights) — the "
+                        "TPU-native equivalent of torch AMP")
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="Path to LPIPS weights (.npz or torch ckpt); absent "
                         "-> LPIPS term disabled like the reference's "
@@ -154,6 +157,7 @@ def configs_from_args(args):
         use_pose_encoding=args.use_pose_encoding,
         num_devices=args.num_devices,
         seed=args.seed,
+        use_amp=args.use_amp,
     )
     physics = PhysicsConfig(
         use_wave_rendering=args.use_wave_rendering,
