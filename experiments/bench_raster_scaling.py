@@ -23,6 +23,9 @@ def main():
     p.add_argument("--sizes", type=int, nargs="*",
                    default=[20_000, 50_000, 100_000, 200_000, 500_000])
     p.add_argument("--max_per_tile", type=int, default=256)
+    p.add_argument("--window", type=int, default=5,
+                   help="binning tile window (3 clamps radii to 16 px)")
+    p.add_argument("--backend", default="auto")
     p.add_argument("--iters", type=int, default=8)
     args = p.parse_args()
 
@@ -34,7 +37,8 @@ def main():
     from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
 
     cam = Camera.default_training(args.res)
-    cfg = TileRendererConfig(max_per_tile=args.max_per_tile)
+    cfg = TileRendererConfig(max_per_tile=args.max_per_tile,
+                             tile_window=args.window, backend=args.backend)
 
     def fwd(p_, s_, r_, c_, o_):
         return jnp.sum(render_tiled(p_, s_, r_, c_, o_, cam, config=cfg))

@@ -55,6 +55,10 @@ class TileRendererConfig:
     tile_window: int = 5         # binning window (tiles per side) around each
                                  # Gaussian's center tile; effective radius is
                                  # clamped to (tile_window // 2) * tile_size
+    binning: str = "auto"        # "auto" (search beyond ~64k Gaussians) |
+                                 # "pairs" (window-pair scatter) | "search"
+                                 # (rank-table binary search — no scatter;
+                                 # cost is output-proportional, O(T M log N))
 
 
 def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
@@ -139,6 +143,98 @@ def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
     tile_valid = (
         jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
     )
+    return tile_indices, tile_valid
+
+
+def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
+                          tile_size, max_per_tile, tile_window: int = 5):
+    """Scatter-free per-tile compaction: rank-table + binary search.
+
+    Same contract as _bin_gaussians (identical tables, bit-for-bit), built
+    the other way around: instead of scattering N*window^2 (Gaussian, tile)
+    pairs into their slots — whose gather+scatter cost is ~0.5 us/Gaussian
+    and dominates the forward beyond ~100k Gaussians (experiments/README.md
+    T-011) — each OUTPUT slot (t, m) finds its Gaussian by binary-searching
+    the per-tile rank cumsum for the (m+1)-th hit.  Work is then
+    O(T*M*log N) gathers (output-proportional, ~constant in N) plus an
+    MXU-friendly rank-table build:
+
+      1. hit matrix in (N, T) layout from the separable interval masks;
+      2. per-256-chunk inclusive cumsum as ONE lower-triangular bf16 matmul
+         per chunk (integer counts <= 256 are exact in bf16; f32 accum) —
+         the log-step HBM cumsum becomes MXU FLOPs;
+      3. chunk bases via a small exclusive cumsum; ranks saturate at M+1
+         (slots beyond the cap are dropped anyway) so the table stores int16;
+      4. vectorized binary search of each (tile, slot) over the transposed
+         (T, N) table.
+
+    No scatter, no window pairs.  The tile_window radius clamp is honored by
+    the CALLER (same eff_max_radius) so both binning modes are
+    interchangeable for the same config.
+    """
+    ts = float(tile_size)
+    T = n_tiles_x * n_tiles_y
+    n = means2d.shape[0]
+    M = max_per_tile
+
+    u = means2d[:, 0]
+    v = means2d[:, 1]
+    r = radii
+    cxlo = jnp.floor((u - r) / ts).astype(jnp.int32)
+    cxhi = jnp.floor((u + r) / ts).astype(jnp.int32)
+    cylo = jnp.floor((v - r) / ts).astype(jnp.int32)
+    cyhi = jnp.floor((v + r) / ts).astype(jnp.int32)
+
+    # Pad N to the chunk size; padded rows are invisible (hit no tile).
+    c = 256
+    n2 = -(-n // c) * c
+    pad = n2 - n
+    if pad:
+        cxlo = jnp.pad(cxlo, (0, pad))
+        cxhi = jnp.pad(cxhi, (0, pad), constant_values=-1)
+        cylo = jnp.pad(cylo, (0, pad))
+        cyhi = jnp.pad(cyhi, (0, pad), constant_values=-1)
+        visible = jnp.pad(visible, (0, pad))
+
+    ax = jnp.arange(n_tiles_x, dtype=jnp.int32)
+    ay = jnp.arange(n_tiles_y, dtype=jnp.int32)
+    hx = (ax[None, :] >= cxlo[:, None]) & (ax[None, :] <= cxhi[:, None])
+    hy = ((ay[None, :] >= cylo[:, None]) & (ay[None, :] <= cyhi[:, None])
+          & visible[:, None])                                # (N2, nty)
+    hit = (hy[:, :, None] & hx[:, None, :]).reshape(n2, T)   # (N2, T)
+
+    n_chunks = n2 // c
+    hb = hit.reshape(n_chunks, c, T).astype(jnp.bfloat16)
+    # Inclusive in-chunk cumsum as a lower-triangular matmul.  In-chunk
+    # counts are <= c = 256 — exactly representable in bf16 — so the matmul
+    # can EMIT bf16 (MXU accumulates f32 internally), halving the largest
+    # intermediate's HBM traffic vs an f32 output.
+    L = jnp.tril(jnp.ones((c, c), jnp.bfloat16))
+    C_in = jnp.einsum("ij,njt->nit", L, hb,
+                      preferred_element_type=jnp.bfloat16)   # (nch, c, T)
+    totals = C_in[:, -1, :].astype(jnp.int32)                # (nch, T)
+    base = jnp.cumsum(totals, axis=0) - totals               # exclusive
+    cap = M + 1                                              # <= 32767
+    C = jnp.minimum(C_in.astype(jnp.int32) + base[:, None, :], cap)
+    Ct = C.astype(jnp.int16).reshape(n2, T).T                # (T, N2)
+
+    count = jnp.minimum(Ct[:, -1].astype(jnp.int32), M)
+
+    # Binary search: first j with rank(t, j) >= m + 1, for every slot.
+    target = (jnp.arange(M, dtype=jnp.int32) + 1)[None, :]   # (1, M)
+    lo = jnp.zeros((T, M), jnp.int32)
+    hi = jnp.full((T, M), n2, jnp.int32)
+    # Search space is [0, n2] — n2 + 1 candidate values.
+    steps = max(1, n2.bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        val = jnp.take_along_axis(Ct, jnp.minimum(mid, n2 - 1), axis=1)
+        ge = val.astype(jnp.int32) >= target
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+
+    tile_valid = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
+    tile_indices = jnp.where(tile_valid, jnp.minimum(hi, n2 - 1), 0)
     return tile_indices, tile_valid
 
 
@@ -305,7 +401,15 @@ def render_tiled(
     m_cap = min(cfg.max_per_tile, N)
     m_cap = -(-m_cap // cfg.chunk) * cfg.chunk
 
-    tile_idx, tile_valid = _bin_gaussians(
+    binning = cfg.binning
+    if binning == "auto":
+        # Pair-scatter cost grows ~0.7 us/Gaussian; search binning grows
+        # ~0.16 us/Gaussian with a ~25 ms floor (T-011).  Measured
+        # crossover at 512^2 is ~130k.
+        binning = "search" if N >= 131072 else "pairs"
+    bin_fn = (_bin_gaussians_search if binning == "search"
+              else _bin_gaussians)
+    tile_idx, tile_valid = bin_fn(
         means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
         tile_window=cfg.tile_window)
 

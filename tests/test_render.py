@@ -167,3 +167,66 @@ class TestPhaseBlending:
         img_on = render_tiled(*render_args(cloud, cam), phases=phases, config=cfg_on)
         img_off = render_tiled(*render_args(cloud, cam))
         np.testing.assert_allclose(img_on, img_off, atol=1e-5)
+
+
+class TestSearchBinning:
+    """The scatter-free rank-table/binary-search binning must be
+    interchangeable with the window-pair scatter binning (same tables,
+    same image, same gradients) — it is auto-selected beyond ~64k
+    Gaussians for its output-proportional cost (T-011)."""
+
+    def _sorted_projection(self, cloud, cam):
+        import dataclasses
+
+        from fresnel_tpu.render.projection import (
+            depth_sort_indices, project_gaussians)
+
+        proj = project_gaussians(cloud.positions, cloud.scales,
+                                 cloud.rotations, cam, max_radius=32.0)
+        proj = dataclasses.replace(
+            proj, visible=proj.visible & (cloud.opacities > 0.0))
+        order = depth_sort_indices(proj)
+        return (proj.means2d[order], proj.radii[order], proj.visible[order])
+
+    @pytest.mark.parametrize("n", [77, 300, 5000])
+    def test_tables_identical(self, n):
+        from fresnel_tpu.render.tile import (
+            _bin_gaussians, _bin_gaussians_search)
+
+        cam = Camera.default_training(128)
+        cloud = GaussianCloud.test_cloud(n, seed=n, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+        m2, rad, vis = self._sorted_projection(cloud, cam)
+        ti1, tv1 = _bin_gaussians(m2, rad, vis, 8, 8, 16, 64)
+        ti2, tv2 = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, 64)
+        assert bool(jnp.all(tv1 == tv2))
+        assert bool(jnp.all(jnp.where(tv1, ti1, -1)
+                            == jnp.where(tv2, ti2, -1)))
+
+    def test_image_and_grads_identical(self):
+        cam = Camera.default_training(128)
+        cloud = GaussianCloud.test_cloud(4000, seed=3, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+
+        def render(mode):
+            cfg = TileRendererConfig(backend="xla", binning=mode)
+            return render_tiled(cloud.positions, cloud.scales,
+                                cloud.rotations, cloud.colors,
+                                cloud.opacities, cam, config=cfg)
+
+        np.testing.assert_array_equal(np.asarray(render("pairs")),
+                                      np.asarray(render("search")))
+
+        def grads(mode):
+            cfg = TileRendererConfig(backend="xla", binning=mode)
+
+            def f(p, o):
+                return jnp.sum(render_tiled(p, cloud.scales, cloud.rotations,
+                                            cloud.colors, o, cam,
+                                            config=cfg) ** 2)
+
+            return jax.grad(f, argnums=(0, 1))(cloud.positions,
+                                               cloud.opacities)
+
+        for a, b in zip(grads("pairs"), grads("search")):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
