@@ -139,13 +139,80 @@ def project_gaussians(
     )
 
 
-def depth_sort_indices(proj: GaussianProjection) -> jax.Array:
+def depth_sort_indices(proj: GaussianProjection,
+                       method: str = "exact") -> jax.Array:
     """Front-to-back order with invisible Gaussians pushed to the end.
 
-    Uses lax.sort via jnp.argsort on a masked key — on TPU this lowers to the
-    hardware sort library rather than a hand-written radix sort (the TPU-native
-    answer to the reference's 4-pass GLSL radix sort,
-    reference: src/core/compute/radix_sort.cpp).
+    method="exact": lax.sort via jnp.argsort — the hardware sort library.
+    Its O(N log^2 N) cost dominates projection beyond ~500k Gaussians
+    (~60 ms of the 71 ms proj+sort at 1M, experiments/README.md T-011).
+
+    method="counting": 16-bit-quantized two-pass LSD counting sort built on
+    the same MXU rank-cumsum trick as the search binning — the TPU-native
+    realization of the reference's GPU radix sort, which ALSO quantizes its
+    depth keys (reference: src/core/compute/radix_sort.cpp:8-58 quantizes
+    depth*1000 to u32).  Keys are quantized to 65535 levels over the visible
+    depth range; ties keep submission order (stable).
     """
+    if method == "counting":
+        return _counting_depth_sort(proj.depths, proj.visible)
     key = jnp.where(proj.visible, proj.depths, jnp.inf)
     return jnp.argsort(key)
+
+
+def _digit_positions(digit: jax.Array, n2: int) -> jax.Array:
+    """Stable destination of each element when sorted by its 8-bit digit.
+
+    Per-256-chunk one-hot cumsums are ONE lower-triangular bf16 matmul per
+    chunk (counts <= 256 exact in bf16); chunk bases and bucket starts are
+    small int32 cumsums.
+    """
+    c = 256
+    n_chunks = n2 // c
+    oh = (digit[:, None] == jnp.arange(256, dtype=jnp.int32)[None, :])
+    oh = oh.reshape(n_chunks, c, 256).astype(jnp.bfloat16)
+    L = jnp.tril(jnp.ones((c, c), jnp.bfloat16))
+    C_in = jnp.einsum("ij,njd->nid", L, oh,
+                      preferred_element_type=jnp.bfloat16)   # (nch, c, 256)
+    totals = C_in[:, -1, :].astype(jnp.int32)                # (nch, 256)
+    base = jnp.cumsum(totals, axis=0) - totals               # exclusive
+    digit_totals = base[-1] + totals[-1]                     # (256,)
+    bucket_start = jnp.cumsum(digit_totals) - digit_totals   # exclusive
+
+    # Rank of each element within its digit bucket: row-contiguous gather
+    # from the chunk cumsum + a small gather from the (nch, 256) base table.
+    C_flat = C_in.reshape(n2, 256)
+    d_col = digit[:, None]
+    in_chunk = jnp.take_along_axis(C_flat, d_col, axis=1)[:, 0]
+    chunk_id = jnp.arange(n2, dtype=jnp.int32) // c
+    rank = in_chunk.astype(jnp.int32) - 1 + base[chunk_id, digit]
+    return bucket_start[digit] + rank
+
+
+def _counting_depth_sort(depths: jax.Array, visible: jax.Array) -> jax.Array:
+    n = depths.shape[0]
+    c = 256
+    n2 = -(-n // c) * c
+
+    # Quantize visible depths to [0, 65534] over their dynamic range;
+    # invisible (and padding) keys are 0xFFFF and sort last (stably after
+    # any real 0xFFFF key).
+    big = jnp.float32(3.4e38)
+    dmin = jnp.min(jnp.where(visible, depths, big))
+    dmax = jnp.max(jnp.where(visible, depths, -big))
+    scale = 65534.0 / jnp.maximum(dmax - dmin, 1e-12)
+    q = jnp.clip((depths - dmin) * scale, 0.0, 65534.0).astype(jnp.int32)
+    keys = jnp.where(visible, q, 0xFFFF)
+    keys = jnp.pad(keys, (0, n2 - n), constant_values=0xFFFF)
+
+    idx = jnp.arange(n2, dtype=jnp.int32)
+    for shift in (0, 8):
+        digit = (keys >> shift) & 0xFF
+        pos = _digit_positions(digit, n2)
+        # invperm[p] = the element that lands at p; applying it is two
+        # gathers (cheaper than scattering both payload arrays).
+        invperm = jnp.zeros((n2,), jnp.int32).at[pos].set(
+            jnp.arange(n2, dtype=jnp.int32), unique_indices=True)
+        keys = keys[invperm]
+        idx = idx[invperm]
+    return idx[:n]

@@ -59,6 +59,12 @@ class TileRendererConfig:
                                  # "pairs" (window-pair scatter) | "search"
                                  # (rank-table binary search — no scatter;
                                  # cost is output-proportional, O(T M log N))
+    depth_sort: str = "auto"     # "auto" (= exact; measured best at every N)
+                                 # | "exact" (lax.sort) | "counting"
+                                 # (16-bit-quantized MXU counting sort —
+                                 # correct but LOSES to lax.sort: its
+                                 # permutation gathers/scatters cost more
+                                 # than the sort saves, T-012)
 
 
 def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
@@ -384,7 +390,14 @@ def render_tiled(
     # SAAG) contribute nothing — drop them from binning so they don't occupy
     # per-tile capacity slots.
     proj = dataclasses.replace(proj, visible=proj.visible & (opacities > 0.0))
-    order = depth_sort_indices(proj)
+    N = positions.shape[0]
+    sort_method = cfg.depth_sort
+    if sort_method == "auto":
+        # Measured (T-012): the quantized counting sort loses to lax.sort
+        # at every N — its permutation gathers/scatters cost more than the
+        # O(N log^2 N) sort saves.  "auto" therefore always means exact.
+        sort_method = "exact"
+    order = depth_sort_indices(proj, method=sort_method)
 
     means2d = proj.means2d[order]
     conic = proj.conic[order]

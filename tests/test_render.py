@@ -230,3 +230,50 @@ class TestSearchBinning:
 
         for a, b in zip(grads("pairs"), grads("search")):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCountingSort:
+    """16-bit-quantized MXU counting sort (depth_sort="counting"): a
+    measured-slower-but-correct alternative to lax.sort (T-012).  Must be a
+    stable permutation with invisible Gaussians last and keys nondecreasing."""
+
+    def test_permutation_stability_order(self):
+        from fresnel_tpu.render.projection import _counting_depth_sort
+
+        rng = np.random.default_rng(0)
+        n = 10_001
+        d = jnp.asarray(rng.uniform(1.0, 5.0, size=n).astype(np.float32))
+        vis = jnp.asarray(rng.uniform(size=n) > 0.3)
+        idx = np.asarray(_counting_depth_sort(d, vis))
+        assert np.array_equal(np.sort(idx), np.arange(n))
+
+        # Reproduce the implementation's quantized keys exactly (f32 math).
+        big = jnp.float32(3.4e38)
+        dmin = jnp.min(jnp.where(vis, d, big))
+        dmax = jnp.max(jnp.where(vis, d, -big))
+        scale = 65534.0 / jnp.maximum(dmax - dmin, 1e-12)
+        q = jnp.clip((d - dmin) * scale, 0.0, 65534.0).astype(jnp.int32)
+        keys = np.asarray(jnp.where(vis, q, 0xFFFF))
+
+        ks = keys[idx]
+        assert (np.diff(ks.astype(np.int64)) >= 0).all()
+        same = ks[1:] == ks[:-1]
+        assert (np.diff(idx)[same] > 0).all()  # stable
+        nv = int(np.asarray(vis).sum())
+        assert np.asarray(vis)[idx][:nv].all()  # invisible last
+
+    def test_render_close_to_exact_sort(self):
+        cam = Camera.default_training(128)
+        cloud = GaussianCloud.test_cloud(5000, seed=1, spread=0.6,
+                                         z_offset=-2.0, scale=0.03)
+
+        def render(method):
+            cfg = TileRendererConfig(backend="xla", depth_sort=method)
+            return np.asarray(render_tiled(
+                cloud.positions, cloud.scales, cloud.rotations, cloud.colors,
+                cloud.opacities, cam, config=cfg))
+
+        a, b = render("exact"), render("counting")
+        # Only quantization ties can reorder; the composite difference is
+        # bounded by tie swaps among near-equal depths.
+        assert float(np.abs(a - b).max()) < 0.02
