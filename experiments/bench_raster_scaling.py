@@ -26,6 +26,8 @@ def main():
     p.add_argument("--window", type=int, default=5,
                    help="binning tile window (3 clamps radii to 16 px)")
     p.add_argument("--backend", default="auto")
+    p.add_argument("--binning", default="auto")
+    p.add_argument("--depth_sort", default="auto")
     p.add_argument("--iters", type=int, default=8)
     args = p.parse_args()
 
@@ -38,7 +40,8 @@ def main():
 
     cam = Camera.default_training(args.res)
     cfg = TileRendererConfig(max_per_tile=args.max_per_tile,
-                             tile_window=args.window, backend=args.backend)
+                             tile_window=args.window, backend=args.backend,
+                             binning=args.binning, depth_sort=args.depth_sort)
 
     def fwd(p_, s_, r_, c_, o_):
         return jnp.sum(render_tiled(p_, s_, r_, c_, o_, cam, config=cfg))

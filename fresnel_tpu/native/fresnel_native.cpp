@@ -197,7 +197,119 @@ int fresnel_batch_load(const char** paths, long count, long floats_per_file,
     return failed.load();
 }
 
+// ----------------------------------------------------------------------
+// Asynchronous batch prefetcher: the input-pipeline executor.
+//
+// A training step on the TPU leaves the host idle; the reference hides
+// input latency with torch DataLoader worker *processes*
+// (reference: scripts/training/train_gaussian_decoder.py:1738-1767,
+// num_workers=4).  Here the equivalent is a native job object: submit()
+// starts threads that read many float32 cache files into one contiguous
+// batch buffer at caller-specified offsets, wait() joins and hands the
+// buffer to Python (zero-copy via ctypes/numpy), free() releases it.
+// The streaming dataset double-buffers: batch i+1 loads while the jitted
+// step consumes batch i.
+// ----------------------------------------------------------------------
+
+struct PrefetchJob {
+    std::vector<std::string> paths;
+    std::vector<long> file_floats;   // floats to read per file
+    std::vector<long> out_offsets;   // float offset of each file's region
+    float* buf = nullptr;
+    long total_floats = 0;
+    std::atomic<long> next{0};
+    std::atomic<int> failed{0};      // 0 ok, else index+1 of first failure
+    std::atomic<long> remaining{0};  // files left; 0 => done
+    std::vector<std::thread> threads;
+};
+
+static void prefetch_worker(PrefetchJob* job) {
+    long count = (long)job->paths.size();
+    for (;;) {
+        long i = job->next.fetch_add(1);
+        if (i >= count) return;
+        FILE* f = std::fopen(job->paths[i].c_str(), "rb");
+        size_t want = (size_t)job->file_floats[i];
+        size_t got = 0;
+        if (f) {
+            got = std::fread(job->buf + job->out_offsets[i], sizeof(float),
+                             want, f);
+            std::fclose(f);
+        }
+        if (got != want) {
+            int expect = 0;
+            job->failed.compare_exchange_strong(expect, (int)(i + 1));
+        }
+        job->remaining.fetch_sub(1);
+    }
+}
+
+void* fresnel_prefetch_submit(const char** paths, long n_files,
+                              const long* file_floats,
+                              const long* out_offsets,
+                              long total_floats, long n_threads) {
+    if (n_files <= 0 || total_floats <= 0) return nullptr;
+    PrefetchJob* job = new PrefetchJob();
+    job->paths.reserve((size_t)n_files);
+    for (long i = 0; i < n_files; i++) {
+        // Validate regions up front so worker threads cannot write out of
+        // bounds whatever the caller passed.
+        if (out_offsets[i] < 0 || file_floats[i] < 0 ||
+            out_offsets[i] + file_floats[i] > total_floats) {
+            delete job;
+            return nullptr;
+        }
+        job->paths.emplace_back(paths[i]);
+    }
+    job->file_floats.assign(file_floats, file_floats + n_files);
+    job->out_offsets.assign(out_offsets, out_offsets + n_files);
+    job->total_floats = total_floats;
+    job->buf = (float*)std::malloc((size_t)total_floats * sizeof(float));
+    if (!job->buf) {
+        delete job;
+        return nullptr;
+    }
+    job->remaining.store(n_files);
+    long hw = (long)std::thread::hardware_concurrency();
+    if (hw < 1) hw = 1;
+    if (n_threads < 1) n_threads = hw;
+    if (n_threads > n_files) n_threads = n_files;
+    for (long t = 0; t < n_threads; t++)
+        job->threads.emplace_back(prefetch_worker, job);
+    return job;
+}
+
+int fresnel_prefetch_ready(void* handle) {
+    if (!handle) return -1;
+    return ((PrefetchJob*)handle)->remaining.load() == 0 ? 1 : 0;
+}
+
+// Blocks until the job completes. Returns the filled buffer, or NULL if any
+// file failed (call fresnel_prefetch_error for which).
+float* fresnel_prefetch_wait(void* handle) {
+    if (!handle) return nullptr;
+    PrefetchJob* job = (PrefetchJob*)handle;
+    for (auto& th : job->threads)
+        if (th.joinable()) th.join();
+    job->threads.clear();
+    return job->failed.load() == 0 ? job->buf : nullptr;
+}
+
+int fresnel_prefetch_error(void* handle) {
+    if (!handle) return -1;
+    return ((PrefetchJob*)handle)->failed.load();
+}
+
+void fresnel_prefetch_free(void* handle) {
+    if (!handle) return;
+    PrefetchJob* job = (PrefetchJob*)handle;
+    for (auto& th : job->threads)
+        if (th.joinable()) th.join();
+    std::free(job->buf);
+    delete job;
+}
+
 // Version tag for the ctypes layer to sanity-check.
-int fresnel_native_version() { return 1; }
+int fresnel_native_version() { return 2; }
 
 }  // extern "C"

@@ -153,11 +153,37 @@ def depth_sort_indices(proj: GaussianProjection,
     depth keys (reference: src/core/compute/radix_sort.cpp:8-58 quantizes
     depth*1000 to u32).  Keys are quantized to 65535 levels over the visible
     depth range; ties keep submission order (stable).
+
+    method="packed": 12-bit-quantized depth packed with the 20-bit index
+    into ONE uint32, sorted as a single array — halves the sort's memory
+    traffic vs the (f32 key, i32 index) pair of "exact", yet measured a
+    WASH end to end (130 vs 131 ms @500k, 203 both @1M, T-013): the TPU
+    sort's cost sits in its O(log^2 N) comparator passes, not bandwidth.
+    Kept as the documented negative result.  Index-in-low-bits makes ties
+    stable; only the compositing ORDER is quantized (4095 depth levels
+    across the visible range — finer than the reference GPU sort's 1 mm
+    buckets); rendered depths stay exact.  Requires N <= 2^20.
     """
     if method == "counting":
         return _counting_depth_sort(proj.depths, proj.visible)
+    if method == "packed":
+        return _packed_depth_sort(proj.depths, proj.visible)
     key = jnp.where(proj.visible, proj.depths, jnp.inf)
     return jnp.argsort(key)
+
+
+def _packed_depth_sort(depths: jax.Array, visible: jax.Array) -> jax.Array:
+    n = depths.shape[0]
+    if n > (1 << 20):
+        raise ValueError("packed depth sort supports at most 2^20 Gaussians")
+    big = jnp.float32(3.4e38)
+    dmin = jnp.min(jnp.where(visible, depths, big))
+    dmax = jnp.max(jnp.where(visible, depths, -big))
+    scale = 4094.0 / jnp.maximum(dmax - dmin, 1e-12)
+    q = jnp.clip((depths - dmin) * scale, 0.0, 4094.0).astype(jnp.uint32)
+    q = jnp.where(visible, q, jnp.uint32(4095))      # invisible sort last
+    packed = (q << 20) | jnp.arange(n, dtype=jnp.uint32)
+    return (jax.lax.sort(packed) & jnp.uint32(0xFFFFF)).astype(jnp.int32)
 
 
 def _digit_positions(digit: jax.Array, n2: int) -> jax.Array:

@@ -55,13 +55,18 @@ class TileRendererConfig:
     tile_window: int = 5         # binning window (tiles per side) around each
                                  # Gaussian's center tile; effective radius is
                                  # clamped to (tile_window // 2) * tile_size
-    binning: str = "auto"        # "auto" (search beyond ~64k Gaussians) |
+    binning: str = "auto"        # "auto" (search beyond ~96k Gaussians) |
                                  # "pairs" (window-pair scatter) | "search"
-                                 # (rank-table binary search — no scatter;
-                                 # cost is output-proportional, O(T M log N))
-    depth_sort: str = "auto"     # "auto" (= exact; measured best at every N)
-                                 # | "exact" (lax.sort) | "counting"
-                                 # (16-bit-quantized MXU counting sort —
+                                 # (rank-table two-level binary search — no
+                                 # scatter; cost is output-proportional)
+    depth_sort: str = "auto"     # "auto" (= exact; bit-reproducible order)
+                                 # | "exact" (lax.sort of (f32, i32) pairs)
+                                 # | "packed" (12-bit quantized depth +
+                                 # 20-bit index in ONE uint32 — half the
+                                 # sort traffic but measured a WASH end to
+                                 # end: TPU sort cost is comparator-pass-
+                                 # dominated, not bandwidth, T-013)
+                                 # | "counting" (16-bit MXU counting sort —
                                  # correct but LOSES to lax.sort: its
                                  # permutation gathers/scatters cost more
                                  # than the sort saves, T-012)
@@ -169,10 +174,15 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
       2. per-256-chunk inclusive cumsum as ONE lower-triangular bf16 matmul
          per chunk (integer counts <= 256 are exact in bf16; f32 accum) —
          the log-step HBM cumsum becomes MXU FLOPs;
-      3. chunk bases via a small exclusive cumsum; ranks saturate at M+1
-         (slots beyond the cap are dropped anyway) so the table stores int16;
-      4. vectorized binary search of each (tile, slot) over the transposed
-         (T, N) table.
+      3. TWO-LEVEL search: level 1 binary-searches the (T, n_chunks) int32
+         cumulative chunk totals (a tiny table — 16 MB at 1M Gaussians) for
+         the chunk holding the (m+1)-th hit; level 2 binary-searches only
+         the 256-entry in-chunk cumsum (the transposed bf16 table, gathers
+         confined to one 512-byte window per slot).  vs a single-level
+         search this turns 20 random-gather sweeps over the full 2 GB rank
+         table into 13 sweeps over 16 MB + 8 locality-friendly sweeps, and
+         deletes the full-table base-add/saturate/int16 pass outright (the
+         in-chunk bf16 cumsum is searched as-is — counts <= 256 are exact).
 
     No scatter, no window pairs.  The tile_window radius clamp is honored by
     the CALLER (same eff_max_radius) so both binning modes are
@@ -219,28 +229,45 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
     C_in = jnp.einsum("ij,njt->nit", L, hb,
                       preferred_element_type=jnp.bfloat16)   # (nch, c, T)
     totals = C_in[:, -1, :].astype(jnp.int32)                # (nch, T)
-    base = jnp.cumsum(totals, axis=0) - totals               # exclusive
-    cap = M + 1                                              # <= 32767
-    C = jnp.minimum(C_in.astype(jnp.int32) + base[:, None, :], cap)
-    Ct = C.astype(jnp.int16).reshape(n2, T).T                # (T, N2)
+    cumtot_t = jnp.cumsum(totals, axis=0).T                  # (T, nch) incl.
+    Cin_t = C_in.reshape(n2, T).T                            # (T, N2) bf16
 
-    count = jnp.minimum(Ct[:, -1].astype(jnp.int32), M)
+    count = jnp.minimum(cumtot_t[:, -1], M)
 
-    # Binary search: first j with rank(t, j) >= m + 1, for every slot.
     target = (jnp.arange(M, dtype=jnp.int32) + 1)[None, :]   # (1, M)
+
+    # Level 1: first chunk k with cumtot(t, k) >= m + 1.  Search space is
+    # [0, n_chunks] — n_chunks + 1 candidates.
     lo = jnp.zeros((T, M), jnp.int32)
-    hi = jnp.full((T, M), n2, jnp.int32)
-    # Search space is [0, n2] — n2 + 1 candidate values.
-    steps = max(1, n2.bit_length())
-    for _ in range(steps):
+    hi = jnp.full((T, M), n_chunks, jnp.int32)
+    for _ in range(max(1, n_chunks.bit_length())):
         mid = (lo + hi) >> 1
-        val = jnp.take_along_axis(Ct, jnp.minimum(mid, n2 - 1), axis=1)
-        ge = val.astype(jnp.int32) >= target
+        val = jnp.take_along_axis(
+            cumtot_t, jnp.minimum(mid, n_chunks - 1), axis=1)
+        ge = val >= target
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    k = jnp.minimum(hi, n_chunks - 1)                        # (T, M)
+
+    # Level 2: within chunk k, first j with in-chunk rank >= the residual
+    # target.  For a correctly found chunk the last in-chunk value meets the
+    # target, so the answer lies in [0, c-1] — c candidates, log2(c) steps.
+    base_k = jnp.where(
+        k > 0, jnp.take_along_axis(cumtot_t, jnp.maximum(k - 1, 0), axis=1),
+        0)                                                   # exclusive base
+    target2 = target - base_k                                # (T, M)
+    lo = jnp.zeros((T, M), jnp.int32)
+    hi = jnp.full((T, M), c - 1, jnp.int32)
+    kc = k * c
+    for _ in range(max(1, (c - 1).bit_length())):
+        mid = (lo + hi) >> 1
+        val = jnp.take_along_axis(Cin_t, kc + mid, axis=1)
+        ge = val.astype(jnp.int32) >= target2
         hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid + 1)
 
     tile_valid = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
-    tile_indices = jnp.where(tile_valid, jnp.minimum(hi, n2 - 1), 0)
+    tile_indices = jnp.where(tile_valid, jnp.minimum(kc + hi, n2 - 1), 0)
     return tile_indices, tile_valid
 
 
@@ -415,11 +442,12 @@ def render_tiled(
     m_cap = -(-m_cap // cfg.chunk) * cfg.chunk
 
     binning = cfg.binning
-    if binning == "auto":
-        # Pair-scatter cost grows ~0.7 us/Gaussian; search binning grows
-        # ~0.16 us/Gaussian with a ~25 ms floor (T-011).  Measured
-        # crossover at 512^2 is ~130k.
-        binning = "search" if N >= 131072 else "pairs"
+    if binning == "auto":  # two-level search: ties pairs at 100k, wins above
+        # Pair-scatter cost grows ~0.7 us/Gaussian; two-level search
+        # binning grows ~0.13 us/Gaussian with a ~20 ms floor (T-011,
+        # T-013).  Measured crossover at 512^2: tie at 100k, search wins
+        # beyond.
+        binning = "search" if N >= 98304 else "pairs"
     bin_fn = (_bin_gaussians_search if binning == "search"
               else _bin_gaussians)
     tile_idx, tile_valid = bin_fn(

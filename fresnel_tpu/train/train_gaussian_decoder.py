@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_samples", type=int, default=16)
     p.add_argument("--num_devices", type=int, default=None,
                    help="Data-parallel devices (default: 1; >1 builds a mesh)")
+    p.add_argument("--streaming", action="store_true",
+                   help="Stream batches from disk caches via the native "
+                        "threaded prefetcher instead of holding the dataset "
+                        "in memory (the DataLoader-workers equivalent)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--use_amp", action="store_true",
                    help="bf16 decoder compute (fp32 master weights) — the "
@@ -212,6 +216,13 @@ def main(argv=None):
         dataset = SyntheticGaussianDataset(
             n_samples=args.synthetic_samples, image_size=config.image_size,
             feature_dim=config.feature_dim, seed=config.seed)
+    elif args.streaming:
+        from fresnel_tpu.data.streaming import StreamingImageDataset
+        dataset = StreamingImageDataset(
+            config.data_dir, image_size=config.image_size,
+            feature_dim=config.feature_dim,
+            use_augmentation=config.use_augmentation,
+            max_images=config.max_images)
     else:
         from fresnel_tpu.data.dataset import ImageDataset
         dataset = ImageDataset(
