@@ -158,7 +158,8 @@ def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
 
 
 def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
-                          tile_size, max_per_tile, tile_window: int = 5):
+                          tile_size, max_per_tile, tile_window: int = 5,
+                          groups: int = 1):
     """Scatter-free per-tile compaction: rank-table + binary search.
 
     Same contract as _bin_gaussians (identical tables, bit-for-bit), built
@@ -187,9 +188,17 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
     No scatter, no window pairs.  The tile_window radius clamp is honored by
     the CALLER (same eff_max_radius) so both binning modes are
     interchangeable for the same config.
+
+    `groups` > 1 processes the tile rows in that many lax.scan passes,
+    bounding the rank-table working set to 1/groups of the full (N, T)
+    layout.  That is what lifts the practical Gaussian cap to the
+    reference's 5M (reference: src/core/renderer/renderer.hpp:133-134 —
+    its GPU sort buffer cap): at 5M x 1024 tiles the one-shot bf16 table
+    would be ~10 GB; 8 groups keep the peak slab at ~1.3 GB.  Total work
+    is unchanged (each Gaussian still meets each tile once) and results
+    are bit-identical to groups=1.
     """
     ts = float(tile_size)
-    T = n_tiles_x * n_tiles_y
     n = means2d.shape[0]
     M = max_per_tile
 
@@ -217,6 +226,34 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
     hx = (ax[None, :] >= cxlo[:, None]) & (ax[None, :] <= cxhi[:, None])
     hy = ((ay[None, :] >= cylo[:, None]) & (ay[None, :] <= cyhi[:, None])
           & visible[:, None])                                # (N2, nty)
+
+    if groups <= 1:
+        ti, tv = _search_from_masks(hx, hy, n2, n_tiles_x, n_tiles_y, M)
+        return ti, tv
+
+    # Pad tile rows to a multiple of `groups`; padded rows hit nothing and
+    # their (zero-count) output rows are sliced off below.
+    nty2 = -(-n_tiles_y // groups) * groups
+    if nty2 != n_tiles_y:
+        hy = jnp.pad(hy, ((0, 0), (0, nty2 - n_tiles_y)))
+    nty_g = nty2 // groups
+    hy_g = jnp.moveaxis(hy.reshape(n2, groups, nty_g), 1, 0)  # (G, N2, ntyg)
+
+    def body(_, hy_slice):
+        return None, _search_from_masks(hx, hy_slice, n2, n_tiles_x, nty_g, M)
+
+    _, (ti, tv) = jax.lax.scan(body, None, hy_g)
+    # Row-major tile order: stacking groups along y reproduces t = y*ntx + x.
+    T = n_tiles_x * n_tiles_y
+    ti = ti.reshape(groups * nty_g * n_tiles_x, M)[:T]
+    tv = tv.reshape(groups * nty_g * n_tiles_x, M)[:T]
+    return ti, tv
+
+
+def _search_from_masks(hx, hy, n2, n_tiles_x, n_tiles_y, M):
+    """Rank-table build + two-level binary search for one tile-row group."""
+    c = 256
+    T = n_tiles_x * n_tiles_y
     hit = (hy[:, :, None] & hx[:, None, :]).reshape(n2, T)   # (N2, T)
 
     n_chunks = n2 // c
@@ -450,9 +487,23 @@ def render_tiled(
         binning = "search" if N >= 98304 else "pairs"
     bin_fn = (_bin_gaussians_search if binning == "search"
               else _bin_gaussians)
-    tile_idx, tile_valid = bin_fn(
-        means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
-        tile_window=cfg.tile_window)
+    if binning == "search":
+        # Bound the bf16 rank-table slab to ~2 GB (2^30 bf16 elements) by
+        # scanning tile-row groups: keeps 5M Gaussians (the reference's
+        # sort cap) inside HBM.  groups=1 up to ~1M @512^2 (unchanged).
+        T_tiles_all = n_tiles_x * n_tiles_y
+        n2_est = -(-N // 256) * 256
+        groups = 1
+        while (n2_est * T_tiles_all) // groups > (1 << 30) \
+                and groups < n_tiles_y:
+            groups *= 2
+        tile_idx, tile_valid = bin_fn(
+            means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
+            tile_window=cfg.tile_window, groups=groups)
+    else:
+        tile_idx, tile_valid = bin_fn(
+            means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
+            tile_window=cfg.tile_window)
 
     # ONE gather from a per-Gaussian packed table instead of six separate
     # fancy-index gathers — the gathers dominate pre-composite cost (~11 ms

@@ -231,6 +231,43 @@ class TestSearchBinning:
         for a, b in zip(grads("pairs"), grads("search")):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    @pytest.mark.parametrize("groups", [2, 4, 8])
+    def test_grouped_scan_identical(self, groups):
+        # Tile-row-group scanning (the memory bound that reaches the
+        # reference's 5M cap) must be bit-identical to the one-shot table.
+        from fresnel_tpu.render.tile import _bin_gaussians_search
+
+        cam = Camera.default_training(128)
+        cloud = GaussianCloud.test_cloud(5000, seed=9, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+        m2, rad, vis = self._sorted_projection(cloud, cam)
+        ti1, tv1 = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, 64)
+        tig, tvg = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, 64,
+                                         groups=groups)
+        np.testing.assert_array_equal(np.asarray(tv1), np.asarray(tvg))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(tv1, ti1, -1)),
+            np.asarray(jnp.where(tvg, tig, -1)))
+
+    def test_grouped_scan_nondivisible_rows(self):
+        # 6 tile rows with 4 groups forces row padding (nty2=8, nty_g=2).
+        from fresnel_tpu.render.tile import _bin_gaussians_search
+
+        view = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-2.0)
+        cam = Camera.create(fx=102.4, fy=102.4, cx=64.0, cy=48.0,
+                            width=128, height=96, view=view)
+        cloud = GaussianCloud.test_cloud(3000, seed=11, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+        m2, rad, vis = self._sorted_projection(cloud, cam)
+        ti1, tv1 = _bin_gaussians_search(m2, rad, vis, 8, 6, 16, 64)
+        tig, tvg = _bin_gaussians_search(m2, rad, vis, 8, 6, 16, 64,
+                                         groups=4)
+        assert tig.shape == ti1.shape == (48, 64)
+        np.testing.assert_array_equal(np.asarray(tv1), np.asarray(tvg))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(tv1, ti1, -1)),
+            np.asarray(jnp.where(tvg, tig, -1)))
+
 
 class TestCountingSort:
     """16-bit-quantized MXU counting sort (depth_sort="counting"): a
