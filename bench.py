@@ -1,11 +1,18 @@
 """Headline benchmark: single 512² image -> 3D Gaussian splat reconstruction.
 
-Runs the full TPU inference pipeline — patch feature extraction + monocular
-depth + DirectPatchDecoder + tiled rasterized verification render — as one
-jit-compiled program and reports steady-state latency.
+Runs the full TPU inference pipeline as ONE jit-compiled program:
+  DINOv2-S feature extraction (the real ViT-S/14 @518², fresnel_tpu/models/
+  vit.py) + Depth-Anything-style monocular depth (ViT-S backbone + DPT head)
+  + DirectPatchDecoder + tiled rasterized verification render.
 
-Reference baseline: ~2 s image->3D on an RX 7800 XT (reference: README.md:207;
-BASELINE.md).  vs_baseline = baseline_ms / ours_ms (higher is better).
+Weights are randomly initialized when no checkpoints are present — latency
+is FLOP-identical to trained weights, so the measurement is architecture-
+faithful either way.  The reference runs the same two models through ONNX
+subprocesses + temp files (reference: src/core/features/feature_extractor.cpp
+:67-150, src/core/depth/estimator.cpp:182-255) at ~2 s end-to-end
+(reference: README.md:207).
+
+vs_baseline = baseline_ms / ours_ms (higher is better).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "ms", "vs_baseline": N}
@@ -23,8 +30,7 @@ def main():
 
     from fresnel_tpu.core.camera import Camera
     from fresnel_tpu.models.decoders import DirectPatchDecoder
-    from fresnel_tpu.models.encoders import (
-        PatchFeatureExtractor, gradient_depth_estimate)
+    from fresnel_tpu.models.vit import DINOv2, DepthAnything
     from fresnel_tpu.render.tile import render_tiled
 
     res = 512
@@ -35,26 +41,35 @@ def main():
               for _ in range(8)]
     image = images[0]
 
-    extractor = PatchFeatureExtractor(grid=37, dim=384)
-    model = DirectPatchDecoder(gaussians_per_patch=4)
+    dino = DINOv2()                       # ViT-S/14: width 384, depth 12
+    depth_model = DepthAnything()         # ViT-S backbone + DPT head
+    decoder = DirectPatchDecoder(gaussians_per_patch=4)
     camera = Camera.default_training(res)
 
-    feats0 = extractor(image)
-    depth0 = gradient_depth_estimate(image, 256)
-    params = model.init(jax.random.PRNGKey(0), feats0[None], depth0[None])
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    dummy518 = jnp.zeros((1, 518, 518, 3), jnp.float32)
+    dino_params = dino.init(k1, dummy518)
+    depth_params = depth_model.init(k2, dummy518)
+    feats0 = dino.apply(dino_params, dummy518)
+    depth0 = depth_model.apply(depth_params, dummy518)
+    dec_params = decoder.init(k3, feats0, depth0)
 
     @jax.jit
-    def image_to_3dgs(params, image):
-        feats = extractor._extract(image)[None]
-        depth = gradient_depth_estimate(image, 256)[None]
-        out = model.apply(params, feats, depth)
+    def image_to_3dgs(dino_params, depth_params, dec_params, image):
+        x518 = jax.image.resize(image, (518, 518, 3), "linear")[None]
+        feats = dino.apply(dino_params, x518)            # (1, 37, 37, 384)
+        depth = depth_model.apply(depth_params, x518)    # (1, 256, 256)
+        out = decoder.apply(dec_params, feats, depth)
         img = render_tiled(
             out["positions"][0], out["scales"][0], out["rotations"][0],
             out["colors"][0], out["opacities"][0], camera)
         return out["positions"], img
 
+    params = (dino_params, depth_params, dec_params)
+
     # Warmup / compile.
-    pos, img = image_to_3dgs(params, image)
+    pos, img = image_to_3dgs(*params, image)
     jax.block_until_ready((pos, img))
 
     # Steady-state timing over distinct inputs.
@@ -62,7 +77,7 @@ def main():
     outs = []
     t0 = time.perf_counter()
     for i in range(iters):
-        outs.append(image_to_3dgs(params, images[i % len(images)]))
+        outs.append(image_to_3dgs(*params, images[i % len(images)]))
     jax.block_until_ready(outs)
     ms = (time.perf_counter() - t0) / iters * 1000.0
 
