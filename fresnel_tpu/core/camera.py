@@ -136,10 +136,15 @@ class Camera:
         return -R.T @ t
 
     def world_to_camera(self, points: jax.Array) -> jax.Array:
-        """(..., 3) world points -> (..., 3) camera-space points."""
+        """(..., 3) world points -> (..., 3) camera-space points.
+
+        HIGHEST precision: the TPU default would run this matmul with bf16
+        multiplies, putting ~0.4% error into every projected position and
+        depth (silent on CPU where tests run in f32)."""
         R = self.view[:3, :3]
         t = self.view[:3, 3]
-        return points @ R.T + t
+        return jnp.matmul(points, R.T,
+                          precision=jax.lax.Precision.HIGHEST) + t
 
     def project(self, points: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """(..., 3) world points -> ((..., 2) pixel uv, (...,) positive depth).

@@ -63,7 +63,8 @@ class GaussianCloud:
         """Sigma = R S S^T R^T per Gaussian, shape (..., N, 3, 3)."""
         R = quaternion_to_rotation_matrix(self.rotations)
         RS = R * self.scales[..., None, :]  # scale columns of R
-        return RS @ jnp.swapaxes(RS, -1, -2)
+        return jnp.matmul(RS, jnp.swapaxes(RS, -1, -2),
+                          precision=jax.lax.Precision.HIGHEST)
 
     def bounds(self):
         lo = jnp.min(self.positions, axis=-2)

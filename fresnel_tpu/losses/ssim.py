@@ -26,13 +26,22 @@ def _gaussian_window(size: int, sigma: float):
 
 
 def _filter2d(img: jax.Array, window: jax.Array) -> jax.Array:
-    """Depthwise valid-conv of (B, C, H, W) with a (k, k) window."""
+    """Depthwise valid-conv of (B, C, H, W) with a (k, k) window.
+
+    Precision=HIGHEST is load-bearing on TPU: the default lowers f32 convs
+    to bf16 multiplies, whose ~1e-2 relative error destroys the
+    E[x^2] - E[x]^2 cancellation in the variance terms (C2 = 9e-4) and
+    produced SSIM values as far out of range as -7.4 on smooth images —
+    which silently corrupted SSIM losses/metrics and once flipped a
+    best-checkpoint selection (total loss -1.28, experiments/README.md
+    T-017)."""
     B, C, H, W = img.shape
     k = window.shape[0]
     kernel = jnp.broadcast_to(window[None, None], (C, 1, k, k))
     return jax.lax.conv_general_dilated(
         img, kernel, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C)
+        dimension_numbers=("NCHW", "OIHW", "NCHW"), feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(
@@ -53,8 +62,10 @@ def ssim(
     mu1 = _filter2d(img1, w)
     mu2 = _filter2d(img2, w)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _filter2d(img1 * img1, w) - mu1_sq
-    sigma2_sq = _filter2d(img2 * img2, w) - mu2_sq
+    # True variances are nonnegative; clamp away residual f32 cancellation
+    # noise (pytorch_msssim applies the same relu).
+    sigma1_sq = jnp.maximum(_filter2d(img1 * img1, w) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_filter2d(img2 * img2, w) - mu2_sq, 0.0)
     sigma12 = _filter2d(img1 * img2, w) - mu12
 
     ssim_map = ((2 * mu12 + C1) * (2 * sigma12 + C2)) / (
@@ -75,19 +86,31 @@ def ms_ssim(
     weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333),
     window_size: int = 11,
 ) -> jax.Array:
-    """Multi-scale SSIM (5 dyadic scales, standard weights)."""
+    """Multi-scale SSIM (up to 5 dyadic scales, standard weights).
+
+    Levels whose downsampled image would be smaller than the window are
+    dropped and the remaining weights renormalized (pytorch_msssim instead
+    asserts size > (win-1)*2^4; training at 64-128 px needs the graceful
+    version — a 128 input's 5th level is 8 px, smaller than the 11-tap
+    window, and produced an empty VALID conv -> NaN, T-017)."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
     w = _gaussian_window(window_size, 1.5)
     C1 = (0.01 * data_range) ** 2
     C2 = (0.03 * data_range) ** 2
-    weights = jnp.asarray(weights, jnp.float32)
-    levels = len(weights)
+    min_side = min(img1.shape[-2], img1.shape[-1])
+    usable = 1
+    while (usable < len(weights)
+           and min_side // (2 ** usable) >= window_size):
+        usable += 1
+    weights = jnp.asarray(weights[:usable], jnp.float32)
+    weights = weights / jnp.sum(weights)
+    levels = usable
 
     def cs_and_ssim(a, b):
         mu1, mu2 = _filter2d(a, w), _filter2d(b, w)
-        s1 = _filter2d(a * a, w) - mu1 * mu1
-        s2 = _filter2d(b * b, w) - mu2 * mu2
+        s1 = jnp.maximum(_filter2d(a * a, w) - mu1 * mu1, 0.0)
+        s2 = jnp.maximum(_filter2d(b * b, w) - mu2 * mu2, 0.0)
         s12 = _filter2d(a * b, w) - mu1 * mu2
         cs = jnp.mean((2 * s12 + C2) / (s1 + s2 + C2))
         ss = jnp.mean(((2 * mu1 * mu2 + C1) * (2 * s12 + C2)) /

@@ -58,9 +58,16 @@ def compute_2d_covariance(
 
     R = quaternion_to_rotation_matrix(rotations)              # (N, 3, 3)
     view_rot = camera.view[:3, :3]
-    R_cam = jnp.einsum("ij,njk->nik", view_rot, R)
+    # HIGHEST precision is load-bearing on TPU: the default bf16 multiplies
+    # put ~0.4% relative error into the covariance chain, which the conic
+    # inversion amplifies — silent on CPU (tests) but degrades on-device
+    # parity with the reference renderer.  These are 3x3 products; the cost
+    # is negligible next to sort/binning/composite.
+    hp = jax.lax.Precision.HIGHEST
+    R_cam = jnp.einsum("ij,njk->nik", view_rot, R, precision=hp)
     RS = R_cam * scales[..., None, :]                          # scale columns
-    cov3d = RS @ jnp.swapaxes(RS, -1, -2)                      # (N, 3, 3)
+    cov3d = jnp.matmul(RS, jnp.swapaxes(RS, -1, -2),
+                       precision=hp)                           # (N, 3, 3)
 
     z_safe = jnp.maximum(jnp.abs(z), 0.01) * jnp.sign(z + 1e-8)
     z2 = z_safe * z_safe
@@ -76,7 +83,8 @@ def compute_2d_covariance(
         axis=-2,
     )  # (N, 2, 3)
 
-    cov2d = J @ cov3d @ jnp.swapaxes(J, -1, -2)                # (N, 2, 2)
+    cov2d = jnp.matmul(jnp.matmul(J, cov3d, precision=hp),
+                       jnp.swapaxes(J, -1, -2), precision=hp)  # (N, 2, 2)
 
     u = fx * x / (-z_safe) + camera.cx
     v = fy * (-y) / (-z_safe) + camera.cy

@@ -59,6 +59,9 @@ class TileRendererConfig:
                                  # "pairs" (window-pair scatter) | "search"
                                  # (rank-table two-level binary search — no
                                  # scatter; cost is output-proportional)
+    table_build: str = "auto"    # search-binning rank-table backend:
+                                 # "auto" (fused Pallas kernel on TPU, XLA
+                                 # elsewhere) | "pallas" | "xla"
     depth_sort: str = "auto"     # "auto" (= exact; bit-reproducible order)
                                  # | "exact" (lax.sort of (f32, i32) pairs)
                                  # | "packed" (12-bit quantized depth +
@@ -159,7 +162,8 @@ def _bin_gaussians(means2d, radii, visible, n_tiles_x, n_tiles_y, tile_size,
 
 def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
                           tile_size, max_per_tile, tile_window: int = 5,
-                          groups: int = 1):
+                          groups: int = 1, table: str = "auto",
+                          pallas_interpret: bool = False):
     """Scatter-free per-tile compaction: rank-table + binary search.
 
     Same contract as _bin_gaussians (identical tables, bit-for-bit), built
@@ -221,6 +225,36 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
         cyhi = jnp.pad(cyhi, (0, pad), constant_values=-1)
         visible = jnp.pad(visible, (0, pad))
 
+    if table == "auto":
+        # The fused Pallas build (render/pallas_binning.py) skips the hit
+        # matrix and transpose passes entirely; it is TPU-only.
+        table = ("pallas" if jax.default_backend() not in ("cpu", "gpu")
+                 else "xla")
+
+    if table == "pallas":
+        from fresnel_tpu.render.pallas_binning import build_rank_table
+
+        # Fold visibility into the intervals (empty interval = no hits);
+        # the mask path folds it into hy instead.
+        xhi = jnp.where(visible, cxhi, -1)
+        yhi = jnp.where(visible, cyhi, -1)
+        nty2 = -(-n_tiles_y // groups) * groups
+        nty_g = nty2 // groups
+
+        def build(y_off):
+            t, ct = build_rank_table(cxlo, xhi, cylo, yhi, n_tiles_x, nty_g,
+                                     n2, y_offset=y_off,
+                                     interpret=pallas_interpret)
+            return _two_level_search(t, ct, M)
+
+        if groups <= 1:
+            return build(0)
+        offs = jnp.arange(groups, dtype=jnp.int32) * nty_g
+        _, (ti, tv) = jax.lax.scan(lambda _, o: (None, build(o)), None, offs)
+        T = n_tiles_x * n_tiles_y
+        return (ti.reshape(groups * nty_g * n_tiles_x, M)[:T],
+                tv.reshape(groups * nty_g * n_tiles_x, M)[:T])
+
     ax = jnp.arange(n_tiles_x, dtype=jnp.int32)
     ay = jnp.arange(n_tiles_y, dtype=jnp.int32)
     hx = (ax[None, :] >= cxlo[:, None]) & (ax[None, :] <= cxhi[:, None])
@@ -251,7 +285,7 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
 
 
 def _search_from_masks(hx, hy, n2, n_tiles_x, n_tiles_y, M):
-    """Rank-table build + two-level binary search for one tile-row group."""
+    """Rank-table build (XLA) + two-level search for one tile-row group."""
     c = 256
     T = n_tiles_x * n_tiles_y
     hit = (hy[:, :, None] & hx[:, None, :]).reshape(n2, T)   # (N2, T)
@@ -268,6 +302,19 @@ def _search_from_masks(hx, hy, n2, n_tiles_x, n_tiles_y, M):
     totals = C_in[:, -1, :].astype(jnp.int32)                # (nch, T)
     cumtot_t = jnp.cumsum(totals, axis=0).T                  # (T, nch) incl.
     Cin_t = C_in.reshape(n2, T).T                            # (T, N2) bf16
+    return _two_level_search(Cin_t, cumtot_t, M)
+
+
+def _two_level_search(Cin_t, cumtot_t, M):
+    """Find each (tile, slot)'s Gaussian in the rank table.
+
+    Cin_t: (T, N2) bf16 in-chunk inclusive ranks; cumtot_t: (T, n_chunks)
+    int32 cumulative chunk totals.  Built either by _search_from_masks
+    (XLA) or pallas_binning.build_rank_table (fused TPU kernel).
+    """
+    T, n2 = Cin_t.shape
+    n_chunks = cumtot_t.shape[1]
+    c = n2 // n_chunks
 
     count = jnp.minimum(cumtot_t[:, -1], M)
 
@@ -499,7 +546,8 @@ def render_tiled(
             groups *= 2
         tile_idx, tile_valid = bin_fn(
             means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
-            tile_window=cfg.tile_window, groups=groups)
+            tile_window=cfg.tile_window, groups=groups,
+            table=cfg.table_build, pallas_interpret=cfg.pallas_interpret)
     else:
         tile_idx, tile_valid = bin_fn(
             means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,

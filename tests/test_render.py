@@ -249,6 +249,27 @@ class TestSearchBinning:
             np.asarray(jnp.where(tv1, ti1, -1)),
             np.asarray(jnp.where(tvg, tig, -1)))
 
+    @pytest.mark.parametrize("groups", [1, 4])
+    def test_pallas_table_identical(self, groups):
+        # The fused Pallas rank-table build (render/pallas_binning.py) must
+        # be bit-identical to the XLA mask path (interpret mode on CPU).
+        from fresnel_tpu.render.tile import _bin_gaussians_search
+
+        cam = Camera.default_training(128)
+        cloud = GaussianCloud.test_cloud(5000, seed=13, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+        m2, rad, vis = self._sorted_projection(cloud, cam)
+        ti1, tv1 = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, 64,
+                                         table="xla")
+        tip, tvp = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, 64,
+                                         table="pallas",
+                                         pallas_interpret=True,
+                                         groups=groups)
+        np.testing.assert_array_equal(np.asarray(tv1), np.asarray(tvp))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(tv1, ti1, -1)),
+            np.asarray(jnp.where(tvp, tip, -1)))
+
     def test_grouped_scan_nondivisible_rows(self):
         # 6 tile rows with 4 groups forces row padding (nty2=8, nty_g=2).
         from fresnel_tpu.render.tile import _bin_gaussians_search
