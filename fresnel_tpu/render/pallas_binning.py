@@ -36,23 +36,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 CHUNK = 256       # Gaussians per chunk (= the bf16-exact cumsum bound)
 TILE_BLOCK = 256  # tiles per kernel instance (sublane dim of the block)
+CPC = 8           # chunks per kernel instance — amortizes per-grid-step
+                  # overhead (one chunk/step measured SLOWER than the XLA
+                  # path: 15.6k tiny steps at 1M, T-018)
 
 
 def _table_kernel(ax_ref, ay_ref, xlo_ref, xhi_ref, ylo_ref, yhi_ref,
                   u_ref, table_ref):
     axb = ax_ref[...]                       # (TB, 1) int32 tile x coords
     ayb = ay_ref[...]                       # (TB, 1) int32 tile y coords
-    xlo = xlo_ref[...]                      # (1, C) int32 interval bounds
+    xlo = xlo_ref[...]                      # (1, CPC*C) int32 bounds
     xhi = xhi_ref[...]
     ylo = ylo_ref[...]
     yhi = yhi_ref[...]
+    # Hit bits for all CPC chunks at once (elementwise), then one
+    # (TB, C) x (C, C) MXU matmul per chunk: the upper-triangular
+    # right-multiplication is the inclusive cumsum along lanes,
+    # C[t, k] = sum_{j<=k} hit[t, j].
     hit = ((axb >= xlo) & (axb <= xhi) & (ayb >= ylo) & (ayb <= yhi))
-    hitb = hit.astype(jnp.bfloat16)         # (TB, C)
-    # Inclusive cumsum along the Gaussian (lane) axis as one MXU matmul:
-    # C[t, k] = sum_{j<=k} hit[t, j]  via  hit @ upper_triangular_ones.
-    cum = jnp.dot(hitb, u_ref[...],
-                  preferred_element_type=jnp.float32)      # (TB, C)
-    table_ref[...] = cum.astype(jnp.bfloat16)
+    hitb = hit.astype(jnp.bfloat16)         # (TB, CPC*C)
+    u = u_ref[...]
+    c = CHUNK
+    for k in range(CPC):
+        cum = jnp.dot(hitb[:, k * c:(k + 1) * c], u,
+                      preferred_element_type=jnp.float32)  # (TB, C)
+        table_ref[:, k * c:(k + 1) * c] = cum.astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, static_argnames=("n_tiles_x", "n_tiles_y", "n2",
@@ -66,8 +74,10 @@ def build_rank_table(cxlo, cxhi, cylo, cyhi, n_tiles_x: int, n_tiles_y: int,
     entries encoded as empty intervals (hi < lo).  y_offset shifts the
     group's tile rows (tile-row-group scanning for very large N).
 
-    Returns (table (T, n2) bf16 in-chunk inclusive ranks,
-             cumtot (T, n_chunks) int32 cumulative chunk totals).
+    Returns (table (T, n3) bf16 in-chunk inclusive ranks,
+             cumtot (T, n3/CHUNK) int32 cumulative chunk totals), where
+    n3 >= n2 is padded to a CPC*CHUNK multiple; pad columns are rank-flat
+    so downstream searches behave identically.
     """
     c = CHUNK
     assert n2 % c == 0
@@ -91,22 +101,35 @@ def build_rank_table(cxlo, cxhi, cylo, cyhi, n_tiles_x: int, n_tiles_y: int,
     iv = lambda v: v.reshape(1, n2)         # (1, n2): lane-dim blocks only
     U = jnp.triu(jnp.ones((c, c), jnp.bfloat16))
 
+    # Pad the Gaussian axis so CPC chunks fit each grid step; the pad
+    # columns are sliced off below (their empty intervals produce zeros).
+    span = CPC * c
+    n3 = -(-n2 // span) * span
+    if n3 != n2:
+        pad = ((0, 0), (0, n3 - n2))
+        padv = lambda v: jnp.pad(iv(v), pad, constant_values=-1)
+    else:
+        padv = iv
+
     table = pl.pallas_call(
         _table_kernel,
-        grid=(T // tb, n_chunks),
+        grid=(T // tb, n3 // span),
         in_specs=[
             pl.BlockSpec((tb, 1), lambda t, ch: (t, 0)),      # ax
             pl.BlockSpec((tb, 1), lambda t, ch: (t, 0)),      # ay
-            pl.BlockSpec((1, c), lambda t, ch: (0, ch)),      # cxlo
-            pl.BlockSpec((1, c), lambda t, ch: (0, ch)),      # cxhi
-            pl.BlockSpec((1, c), lambda t, ch: (0, ch)),      # cylo
-            pl.BlockSpec((1, c), lambda t, ch: (0, ch)),      # cyhi
+            pl.BlockSpec((1, span), lambda t, ch: (0, ch)),   # cxlo
+            pl.BlockSpec((1, span), lambda t, ch: (0, ch)),   # cxhi
+            pl.BlockSpec((1, span), lambda t, ch: (0, ch)),   # cylo
+            pl.BlockSpec((1, span), lambda t, ch: (0, ch)),   # cyhi
             pl.BlockSpec(memory_space=pltpu.VMEM),            # U
         ],
-        out_specs=pl.BlockSpec((tb, c), lambda t, ch: (t, ch)),
-        out_shape=jax.ShapeDtypeStruct((T, n2), jnp.bfloat16),
+        out_specs=pl.BlockSpec((tb, span), lambda t, ch: (t, ch)),
+        out_shape=jax.ShapeDtypeStruct((T, n3), jnp.bfloat16),
         interpret=interpret,
-    )(ax, ay, iv(cxlo), iv(cxhi), iv(cylo), iv(cyhi), U)
+    )(ax, ay, padv(cxlo), padv(cxhi), padv(cylo), padv(cyhi), U)
+    # No trim: the pad columns are rank-flat (zero hits), so the two-level
+    # search over the (T, n3) table returns identical results, and valid
+    # slots can only land on real Gaussians.  Slicing would copy ~2 GB.
 
     # Chunk totals are the last in-chunk rank — a strided slice of the
     # table (cheap next to the build; avoids a second output whose (tb, 1)

@@ -60,8 +60,9 @@ class TileRendererConfig:
                                  # (rank-table two-level binary search — no
                                  # scatter; cost is output-proportional)
     table_build: str = "auto"    # search-binning rank-table backend:
-                                 # "auto" (fused Pallas kernel on TPU, XLA
-                                 # elsewhere) | "pallas" | "xla"
+                                 # "auto" (= xla; the fused Pallas kernel
+                                 # measured a wash, T-018) | "pallas" |
+                                 # "xla"
     depth_sort: str = "auto"     # "auto" (= exact; bit-reproducible order)
                                  # | "exact" (lax.sort of (f32, i32) pairs)
                                  # | "packed" (12-bit quantized depth +
@@ -227,9 +228,10 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
 
     if table == "auto":
         # The fused Pallas build (render/pallas_binning.py) skips the hit
-        # matrix and transpose passes entirely; it is TPU-only.
-        table = ("pallas" if jax.default_backend() not in ("cpu", "gpu")
-                 else "xla")
+        # matrix and transpose passes, yet measured a WASH at 1M (209 vs
+        # 204 ms end-to-end, T-018) — XLA already fuses the mask+einsum
+        # build well.  Kept as an option; auto stays on the XLA path.
+        table = "xla"
 
     if table == "pallas":
         from fresnel_tpu.render.pallas_binning import build_rank_table
