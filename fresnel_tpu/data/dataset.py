@@ -30,6 +30,20 @@ IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".webp"}
 _DIM_SUFFIX = {384: "", 768: "_base", 1024: "_large"}
 
 
+def cache_paths(img_path: Path, image_size: int, feature_dim: int):
+    """The on-disk cache contract, shared by ImageDataset and
+    StreamingImageDataset (reference: train_gaussian_decoder.py:525-681):
+    returns (rgb_bin, dinov2_bin, depth_bin, vlm_density_npy) paths."""
+    name = img_path.stem
+    suffix = _DIM_SUFFIX.get(feature_dim, f"_{feature_dim}")
+    return (
+        img_path.parent / f"{name}_rgb{image_size}.bin",
+        img_path.parent / f"{name}_dinov2{suffix}.bin",
+        img_path.parent / f"{name}_depth.bin",
+        img_path.parent / f"{name}_vlm_density.npy",
+    )
+
+
 def _load_image(path: Path, size: int) -> np.ndarray:
     from PIL import Image
 
@@ -96,9 +110,8 @@ class ImageDataset:
         name = path.stem
         img = _load_image(path, self.image_size)
         g, c = self.feature_size, self.feature_dim
-        suffix = _DIM_SUFFIX.get(c, f"_{c}")
-
-        feat_path = path.parent / f"{name}_dinov2{suffix}.bin"
+        _, feat_path, depth_path, vlm_path = cache_paths(
+            path, self.image_size, c)
         if feat_path.exists():
             feats = np.fromfile(feat_path, np.float32).reshape(g, g, c)
         else:
@@ -106,7 +119,6 @@ class ImageDataset:
             if self.write_cache:
                 feats.astype(np.float32).tofile(feat_path)
 
-        depth_path = path.parent / f"{name}_depth.bin"
         if depth_path.exists():
             d = np.fromfile(depth_path, np.float32)
             side = int(round(len(d) ** 0.5))
@@ -117,7 +129,6 @@ class ImageDataset:
             if self.write_cache:
                 depth.astype(np.float32).tofile(depth_path)
 
-        vlm_path = path.parent / f"{name}_vlm_density.npy"
         vlm = np.load(vlm_path) if vlm_path.exists() else None
         return Sample(name=name, image=img, features=feats, depth=depth,
                       vlm_density=vlm)

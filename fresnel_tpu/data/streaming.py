@@ -25,7 +25,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from fresnel_tpu.data.dataset import (
-    IMG_EXTS, _DIM_SUFFIX, _load_image, color_jitter)
+    IMG_EXTS, _load_image, cache_paths, color_jitter)
 
 
 class StreamingImageDataset:
@@ -66,20 +66,27 @@ class StreamingImageDataset:
         return self._extractor
 
     def _cache_paths(self, img_path: Path):
-        name = img_path.stem
-        suffix = _DIM_SUFFIX.get(self.feature_dim, f"_{self.feature_dim}")
-        return (
-            img_path.parent / f"{name}_rgb{self.image_size}.bin",
-            img_path.parent / f"{name}_dinov2{suffix}.bin",
-            img_path.parent / f"{name}_depth.bin",
-        )
+        return cache_paths(img_path, self.image_size, self.feature_dim)[:3]
 
     def _ensure_caches(self):
+        """Create (or re-create) caches; validates byte sizes.
+
+        Size validation is load-bearing: the native prefetcher reads FIXED
+        float counts per region, so a cache written at a different
+        resolution (ImageDataset tolerates any square depth map) would be
+        silently truncated into garbage.  Wrong-size caches are recomputed
+        at this dataset's shapes."""
+        S, g, c = self.image_size, self.feature_size, self.feature_dim
+        expect = {0: S * S * 3 * 4, 1: g * g * c * 4, 2: 256 * 256 * 4}
+
+        def ok(path, kind):
+            return path.exists() and path.stat().st_size == expect[kind]
+
         for p in self._image_files:
             rgb_path, feat_path, depth_path = self._cache_paths(p)
-            need_rgb = not rgb_path.exists()
-            need_feat = not feat_path.exists()
-            need_depth = not depth_path.exists()
+            need_rgb = not ok(rgb_path, 0)
+            need_feat = not ok(feat_path, 1)
+            need_depth = not ok(depth_path, 2)
             if not (need_rgb or need_feat or need_depth):
                 continue
             img = _load_image(p, self.image_size)
@@ -114,10 +121,22 @@ class StreamingImageDataset:
                 offsets.append(off)
                 off += region_floats
         job = native.prefetch_submit(paths, sizes, offsets, off)
-        return None if job is None else (job, (B, img_f, feat_f, depth_f))
+        return None if job is None else (job, (B, img_f, feat_f, depth_f, idx))
+
+    def _vlm_batch(self, idx) -> Optional[np.ndarray]:
+        """(B, 1, gh, gw) VLM density maps, or None unless EVERY sample has
+        one (the ImageDataset.batches contract)."""
+        maps = []
+        for j in idx:
+            vp = cache_paths(self._image_files[j], self.image_size,
+                             self.feature_dim)[3]
+            if not vp.exists():
+                return None
+            maps.append(np.load(vp))
+        return np.stack(maps)[:, None]
 
     def _assemble(self, job_layout, rng) -> Dict[str, np.ndarray]:
-        job, (B, img_f, feat_f, depth_f) = job_layout
+        job, (B, img_f, feat_f, depth_f, idx) = job_layout
         buf = job.wait()
         if buf is None:
             raise IOError(
@@ -135,6 +154,9 @@ class StreamingImageDataset:
             "features": np.array(feats),
             "depth": np.array(depths),
         }
+        vlm = self._vlm_batch(idx)
+        if vlm is not None:
+            batch["vlm_density"] = vlm
         job.close()
         return batch
 
@@ -149,8 +171,12 @@ class StreamingImageDataset:
             imgs.append(np.transpose(img, (2, 0, 1)))
             feats.append(np.fromfile(feat_p, np.float32).reshape(g, g, c))
             depths.append(np.fromfile(depth_p, np.float32).reshape(256, 256))
-        return {"image": np.stack(imgs), "features": np.stack(feats),
-                "depth": np.stack(depths)}
+        batch = {"image": np.stack(imgs), "features": np.stack(feats),
+                 "depth": np.stack(depths)}
+        vlm = self._vlm_batch(idx)
+        if vlm is not None:
+            batch["vlm_density"] = vlm
+        return batch
 
     def batches(self, batch_size: int, rng: np.random.Generator,
                 shuffle: bool = True) -> Iterator[Dict[str, np.ndarray]]:
@@ -176,7 +202,7 @@ class StreamingImageDataset:
             for i in starts:
                 yield self._load_sync(order[i:i + batch_size], rng)
             return
-        for k, i in enumerate(starts):
+        for k in range(len(starts)):
             nxt = None
             if k + 1 < len(starts):
                 j = starts[k + 1]

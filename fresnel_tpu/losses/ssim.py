@@ -55,6 +55,11 @@ def ssim(
     """SSIM between (B, C, H, W) images (or (C, H, W), auto-batched)."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
+    # Images smaller than the window would make the VALID conv empty (NaN
+    # mean); shrink the window to the largest odd size that fits.
+    min_side = min(img1.shape[-2], img1.shape[-1])
+    if min_side < window_size:
+        window_size = max(1, min_side - (min_side + 1) % 2)
     w = _gaussian_window(window_size, sigma)
     C1 = (0.01 * data_range) ** 2
     C2 = (0.03 * data_range) ** 2
@@ -95,10 +100,12 @@ def ms_ssim(
     window, and produced an empty VALID conv -> NaN, T-017)."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
+    min_side = min(img1.shape[-2], img1.shape[-1])
+    if min_side < window_size:   # level 0 must fit too (see ssim())
+        window_size = max(1, min_side - (min_side + 1) % 2)
     w = _gaussian_window(window_size, 1.5)
     C1 = (0.01 * data_range) ** 2
     C2 = (0.03 * data_range) ** 2
-    min_side = min(img1.shape[-2], img1.shape[-1])
     usable = 1
     while (usable < len(weights)
            and min_side // (2 ** usable) >= window_size):

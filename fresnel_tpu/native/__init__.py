@@ -51,7 +51,10 @@ def _load():
             return None
         if not _try_build():
             return None
-        lib = ctypes.CDLL(str(_LIB_PATH))
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None  # rebuild produced an unloadable .so — degrade
         lib.fresnel_native_version.restype = ctypes.c_int
         if lib.fresnel_native_version() < 2:
             return None

@@ -73,6 +73,20 @@ class TestMSSSIMSizes:
         assert np.isfinite(v) and -1.0 <= v <= 1.0
         assert float(ms_ssim(a, a)) == pytest.approx(1.0, abs=1e-4)
 
+    @pytest.mark.parametrize("size", [8, 16])
+    def test_tiny_images_shrink_window(self, size):
+        # Below the 11-tap window both ssim and ms_ssim must shrink the
+        # window instead of producing an empty VALID conv -> NaN.
+        rng = np.random.default_rng(size)
+        a = jnp.asarray(rng.uniform(size=(1, 3, size, size))
+                        .astype(np.float32))
+        b = jnp.asarray(rng.uniform(size=(1, 3, size, size))
+                        .astype(np.float32))
+        for fn in (ssim, ms_ssim):
+            v = float(fn(a, b))
+            assert np.isfinite(v)
+            assert float(fn(a, a)) == pytest.approx(1.0, abs=1e-4)
+
     def test_large_size_uses_all_levels(self):
         # At 512 all 5 standard levels are usable; sanity-check ordering:
         # similar images score higher than dissimilar ones.

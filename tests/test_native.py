@@ -173,6 +173,42 @@ class TestStreamingDataset:
             for k in gb:
                 np.testing.assert_array_equal(gb[k], wb[k])
 
+    def test_vlm_density_passthrough(self, tmp_path):
+        # When every sample has a {name}_vlm_density.npy, streaming batches
+        # must carry it exactly like ImageDataset.batches() does.
+        from fresnel_tpu.data.dataset import ImageDataset
+        from fresnel_tpu.data.streaming import StreamingImageDataset
+
+        d = self._make_dir(tmp_path, n=4)
+        rng = np.random.default_rng(5)
+        for i in range(4):
+            np.save(d / f"img{i}_vlm_density.npy",
+                    rng.uniform(0.5, 1.5, (8, 8)).astype(np.float32))
+        kw = dict(image_size=32, use_augmentation=False)
+        got = next(iter(StreamingImageDataset(str(d), **kw).batches(
+            2, np.random.default_rng(0))))
+        want = next(iter(ImageDataset(str(d), **kw).batches(
+            2, np.random.default_rng(0))))
+        assert "vlm_density" in got
+        np.testing.assert_array_equal(got["vlm_density"],
+                                      want["vlm_density"])
+
+    def test_wrong_size_cache_recomputed(self, tmp_path):
+        # A stale cache from different shapes must be detected (the native
+        # reader loads fixed byte counts) and rewritten, not silently
+        # truncated.
+        from fresnel_tpu.data.streaming import StreamingImageDataset
+
+        d = self._make_dir(tmp_path, n=2)
+        bad = np.zeros(17, np.float32)
+        bad.tofile(d / "img0_depth.bin")
+        stream = StreamingImageDataset(str(d), image_size=32,
+                                       use_augmentation=False)
+        assert (d / "img0_depth.bin").stat().st_size == 256 * 256 * 4
+        batch = next(iter(stream.batches(2, np.random.default_rng(0))))
+        assert batch["depth"].shape == (2, 256, 256)
+        assert np.isfinite(batch["depth"]).all()
+
     def test_augmentation_uses_rng(self, tmp_path):
         from fresnel_tpu.data.streaming import StreamingImageDataset
 
