@@ -138,13 +138,14 @@ class Camera:
     def world_to_camera(self, points: jax.Array) -> jax.Array:
         """(..., 3) world points -> (..., 3) camera-space points.
 
-        HIGHEST precision: the TPU default would run this matmul with bf16
-        multiplies, putting ~0.4% error into every projected position and
-        depth (silent on CPU where tests run in f32)."""
+        Broadcast-and-reduce instead of an (N, 3) x (3, 3) matmul: the TPU
+        default would run the matmul with bf16 multiplies (~0.4% position
+        error, T-017) and Precision.HIGHEST makes the tiny matmul 6-pass;
+        the elementwise form is exact f32, fully fusable, and never touches
+        the MXU (T-020)."""
         R = self.view[:3, :3]
         t = self.view[:3, 3]
-        return jnp.matmul(points, R.T,
-                          precision=jax.lax.Precision.HIGHEST) + t
+        return jnp.sum(points[..., None, :] * R, axis=-1) + t
 
     def project(self, points: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """(..., 3) world points -> ((..., 2) pixel uv, (...,) positive depth).

@@ -60,11 +60,13 @@ class GaussianCloud:
     # Geometry helpers
     # ------------------------------------------------------------------
     def covariance_3d(self) -> jax.Array:
-        """Sigma = R S S^T R^T per Gaussian, shape (..., N, 3, 3)."""
+        """Sigma = R S S^T R^T per Gaussian, shape (..., N, 3, 3).
+
+        Elementwise broadcast-and-reduce: exact f32 on TPU (the batched
+        3x3 matmul default is bf16) and VPU-fusable (see T-017/T-020)."""
         R = quaternion_to_rotation_matrix(self.rotations)
         RS = R * self.scales[..., None, :]  # scale columns of R
-        return jnp.matmul(RS, jnp.swapaxes(RS, -1, -2),
-                          precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(RS[..., :, None, :] * RS[..., None, :, :], axis=-1)
 
     def bounds(self):
         lo = jnp.min(self.positions, axis=-2)

@@ -58,33 +58,42 @@ def compute_2d_covariance(
 
     R = quaternion_to_rotation_matrix(rotations)              # (N, 3, 3)
     view_rot = camera.view[:3, :3]
-    # HIGHEST precision is load-bearing on TPU: the default bf16 multiplies
-    # put ~0.4% relative error into the covariance chain, which the conic
-    # inversion amplifies — silent on CPU (tests) but degrades on-device
-    # parity with the reference renderer.  These are 3x3 products; the cost
-    # is negligible next to sort/binning/composite.
-    hp = jax.lax.Precision.HIGHEST
-    R_cam = jnp.einsum("ij,njk->nik", view_rot, R, precision=hp)
-    RS = R_cam * scales[..., None, :]                          # scale columns
-    cov3d = jnp.matmul(RS, jnp.swapaxes(RS, -1, -2),
-                       precision=hp)                           # (N, 3, 3)
+    # Batched 3x3 matmuls are the wrong op on TPU twice over: tiny matrices
+    # waste the 128x128 MXU, and the default bf16 multiplies corrupt the
+    # covariance chain (0.68% conic error that the inversion amplifies —
+    # T-017), while Precision.HIGHEST costs 6 passes (82 ms for projection
+    # alone at 1M, T-020).  Broadcast-and-reduce keeps the whole chain
+    # elementwise on the VPU: exact f32 AND fully fusable (6 ms at 1M).
+    # M = view_rot @ R, expanded over the contracted axis:
+    M = jnp.sum(view_rot[None, :, :, None] * R[:, None, :, :], axis=2)
+    # cov3d = M diag(s^2) M^T (symmetric quadratic form):
+    s2 = scales * scales                                      # (N, 3)
+    Ms = M * s2[:, None, :]
+    cov3d = jnp.sum(Ms[:, :, None, :] * M[:, None, :, :], axis=-1)
 
     z_safe = jnp.maximum(jnp.abs(z), 0.01) * jnp.sign(z + 1e-8)
     z2 = z_safe * z_safe
     fx, fy = camera.fx, camera.fy
 
-    # J rows: du/d(x,y,z), dv/d(x,y,z)  (reference convention, see module doc)
-    zeros = jnp.zeros_like(z_safe)
-    J = jnp.stack(
-        [
-            jnp.stack([fx / (-z_safe), zeros, fx * x / z2], axis=-1),
-            jnp.stack([zeros, fy / z_safe, fy * y / z2], axis=-1),
-        ],
-        axis=-2,
-    )  # (N, 2, 3)
-
-    cov2d = jnp.matmul(jnp.matmul(J, cov3d, precision=hp),
-                       jnp.swapaxes(J, -1, -2), precision=hp)  # (N, 2, 2)
+    # J rows: du/d(x,y,z), dv/d(x,y,z)  (reference convention, see module
+    # doc).  J is sparse ([0,1] and [1,0] are zero), so J Sigma J^T expands
+    # to a handful of scalar products — again pure VPU, no (N,2,3) matmuls.
+    ja = fx / (-z_safe)               # du/dx
+    jb = fx * x / z2                  # du/dz
+    jc = fy / z_safe                  # dv/dy
+    jd = fy * y / z2                  # dv/dz
+    s00 = cov3d[..., 0, 0]
+    s01 = cov3d[..., 0, 1]
+    s02 = cov3d[..., 0, 2]
+    s11 = cov3d[..., 1, 1]
+    s12 = cov3d[..., 1, 2]
+    s22 = cov3d[..., 2, 2]
+    c00 = ja * ja * s00 + 2.0 * ja * jb * s02 + jb * jb * s22
+    c01 = ja * (jc * s01 + jd * s02) + jb * (jc * s12 + jd * s22)
+    c11 = jc * jc * s11 + 2.0 * jc * jd * s12 + jd * jd * s22
+    cov2d = jnp.stack(
+        [jnp.stack([c00, c01], axis=-1), jnp.stack([c01, c11], axis=-1)],
+        axis=-2)                                               # (N, 2, 2)
 
     u = fx * x / (-z_safe) + camera.cx
     v = fy * (-y) / (-z_safe) + camera.cy
