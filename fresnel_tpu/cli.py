@@ -45,6 +45,88 @@ def _load_image(path: str, size: int = 512):
     return jnp.asarray(np.asarray(img, np.float32) / 255.0)
 
 
+def _add_saag_quality_flags(p) -> None:
+    """The reference viewer's ~40-field QualitySettings panel (reference:
+    src/viewer/viewer.hpp:139-181) as CLI flags, grouped by the SAAG param
+    structs (reference: src/core/pointcloud.hpp:18-80).  Defaults mirror
+    the dataclass defaults in fresnel_tpu/geometry/saag.py."""
+    g = p.add_argument_group("SAAG quality (with --saag)")
+    g.add_argument("--depth_exponent", type=float, default=1.0,
+                   help="depth**exponent preprocessing (viewer.cpp:331)")
+    g.add_argument("--saag_base_size", type=float, default=0.02)
+    g.add_argument("--saag_aspect_ratio", type=float, default=5.0)
+    g.add_argument("--saag_edge_threshold", type=float, default=0.15)
+    g.add_argument("--saag_edge_shrink", type=float, default=0.3)
+    g.add_argument("--saag_min_confidence", type=float, default=0.1)
+    g.add_argument("--saag_gradient_scale", type=float, default=50.0)
+    g.add_argument("--saag_normal_strength", type=float, default=1.0)
+    g.add_argument("--no_wrap", action="store_true",
+                   help="disable silhouette wrap Gaussians")
+    g.add_argument("--wrap_layers", type=int, default=3)
+    g.add_argument("--wrap_layer_spacing", type=float, default=0.5)
+    g.add_argument("--wrap_opacity_falloff", type=float, default=0.7)
+    g.add_argument("--wrap_max_angle", type=float, default=75.0)
+    g.add_argument("--wrap_aspect", type=float, default=2.0)
+    g.add_argument("--wrap_edge_threshold", type=float, default=0.15)
+    g.add_argument("--no_shell", action="store_true",
+                   help="disable the volumetric back shell")
+    g.add_argument("--shell_thickness", type=float, default=0.3)
+    g.add_argument("--shell_back_opacity", type=float, default=0.6)
+    g.add_argument("--shell_back_darken", type=float, default=0.8)
+    g.add_argument("--no_shell_walls", action="store_true")
+    g.add_argument("--shell_wall_segments", type=int, default=3)
+    g.add_argument("--shell_wall_opacity", type=float, default=0.5)
+    g.add_argument("--shell_edge_threshold", type=float, default=0.1)
+    g.add_argument("--no_density", action="store_true",
+                   help="disable adaptive edge densification")
+    g.add_argument("--density_gradient_threshold", type=float, default=0.08)
+    g.add_argument("--density_extra_count", type=int, default=4)
+    g.add_argument("--density_position_jitter", type=float, default=0.6)
+    g.add_argument("--density_size_variance", type=float, default=0.3)
+    g.add_argument("--density_opacity_scale", type=float, default=0.7)
+
+
+def _saag_params_from_args(args):
+    from fresnel_tpu.geometry import (
+        AdaptiveDensityParams, SilhouetteWrapParams, SurfaceGaussianParams,
+        VolumetricShellParams)
+
+    return (
+        SurfaceGaussianParams(
+            base_size=args.saag_base_size,
+            aspect_ratio=args.saag_aspect_ratio,
+            edge_threshold=args.saag_edge_threshold,
+            edge_shrink=args.saag_edge_shrink,
+            min_confidence=args.saag_min_confidence,
+            gradient_scale=args.saag_gradient_scale,
+            normal_strength=args.saag_normal_strength),
+        SilhouetteWrapParams(
+            enabled=not args.no_wrap,
+            edge_threshold=args.wrap_edge_threshold,
+            wrap_layers=args.wrap_layers,
+            layer_spacing=args.wrap_layer_spacing,
+            opacity_falloff=args.wrap_opacity_falloff,
+            max_wrap_angle=args.wrap_max_angle,
+            wrap_aspect=args.wrap_aspect),
+        VolumetricShellParams(
+            enabled=not args.no_shell,
+            thickness=args.shell_thickness,
+            back_opacity=args.shell_back_opacity,
+            back_darken=args.shell_back_darken,
+            connect_walls=not args.no_shell_walls,
+            wall_segments=args.shell_wall_segments,
+            wall_opacity=args.shell_wall_opacity,
+            edge_threshold=args.shell_edge_threshold),
+        AdaptiveDensityParams(
+            enabled=not args.no_density,
+            gradient_threshold=args.density_gradient_threshold,
+            extra_count=args.density_extra_count,
+            position_jitter=args.density_position_jitter,
+            size_variance=args.density_size_variance,
+            opacity_scale=args.density_opacity_scale),
+    )
+
+
 def cmd_infer(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -61,15 +143,20 @@ def cmd_infer(args) -> int:
 
     if args.saag or args.checkpoint is None and args.no_model:
         from fresnel_tpu.geometry import (
-            SurfaceGaussianParams, pointcloud_from_depth, to_surface_gaussians)
+            pointcloud_from_depth, to_surface_gaussians)
 
+        if getattr(args, "depth_exponent", 1.0) != 1.0:
+            # Reference preprocessing: depth**exponent before unprojection
+            # (reference: src/viewer/viewer.cpp:331).
+            depth = jnp.power(jnp.clip(depth, 0.0, 1.0), args.depth_exponent)
+        sp, wp, shp, dp = _saag_params_from_args(args)
         pc = pointcloud_from_depth(
             jax.image.resize(depth, (256, 256), "linear"),
             color=jax.image.resize(image, (256, 256, 3), "linear"),
             depth_scale=args.depth_scale).normalize(3.0)
         cloud = to_surface_gaussians(
-            pc, depth, params=SurfaceGaussianParams(base_size=0.02),
-            opacity=args.opacity)
+            pc, depth, params=sp, wrap_params=wp, shell_params=shp,
+            density_params=dp, opacity=args.opacity)
     else:
         extractor = PatchFeatureExtractor(grid=37, dim=384)
         feats = extractor(image)[None]
@@ -248,9 +335,7 @@ def cmd_eval(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
-    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
-    enable_compilation_cache()
+def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(prog="fresnel")
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -266,6 +351,7 @@ def main(argv=None) -> int:
     p.add_argument("--gaussians_per_patch", type=int, default=4)
     p.add_argument("--depth_scale", type=float, default=2.0)
     p.add_argument("--opacity", type=float, default=0.8)
+    _add_saag_quality_flags(p)
 
     p = sub.add_parser("render", help="render a cloud file to PNG")
     p.add_argument("cloud")
@@ -299,7 +385,13 @@ def main(argv=None) -> int:
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--output_json", default=None)
+    return parser
 
+
+def main(argv=None) -> int:
+    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    parser = build_parser()
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] == "train":
         args = parser.parse_args(["train"])

@@ -265,6 +265,40 @@ class TestExportDecoder:
             np.asarray(jax_out["opacities"][0]), flat14[:, 13], atol=1e-2)
 
 
+class TestSaagQualityFlags:
+    """The reference viewer's QualitySettings panel (viewer.hpp:139-181) is
+    exposed as `fresnel infer` flags; parsing must map onto the SAAG param
+    dataclasses exactly."""
+
+    def test_flags_map_to_params(self):
+        from fresnel_tpu.cli import _saag_params_from_args, build_parser
+
+        args = build_parser().parse_args([
+            "infer", "in.png", "out.ply", "--saag",
+            "--saag_base_size", "0.011", "--saag_aspect_ratio", "3.5",
+            "--no_shell", "--wrap_layers", "5",
+            "--density_extra_count", "7", "--no_shell_walls",
+        ])
+        sp, wp, shp, dp = _saag_params_from_args(args)
+        assert sp.base_size == pytest.approx(0.011)
+        assert sp.aspect_ratio == pytest.approx(3.5)
+        assert wp.wrap_layers == 5 and wp.enabled
+        assert not shp.enabled and not shp.connect_walls
+        assert dp.extra_count == 7 and dp.enabled
+
+    def test_defaults_match_dataclasses(self):
+        from fresnel_tpu.cli import _saag_params_from_args, build_parser
+        from fresnel_tpu.geometry import (
+            AdaptiveDensityParams, SilhouetteWrapParams,
+            VolumetricShellParams)
+
+        args = build_parser().parse_args(["infer", "in.png", "out.ply"])
+        _, wp, shp, dp = _saag_params_from_args(args)
+        assert wp == SilhouetteWrapParams()
+        assert shp == VolumetricShellParams()
+        assert dp == AdaptiveDensityParams(seed=dp.seed)
+
+
 class TestDepthTraining:
     def test_tiny_depth_net_step(self):
         from fresnel_tpu.train.train_depth import (
