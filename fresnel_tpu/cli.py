@@ -53,7 +53,7 @@ def _add_saag_quality_flags(p) -> None:
     g = p.add_argument_group("SAAG quality (with --saag)")
     g.add_argument("--depth_exponent", type=float, default=1.0,
                    help="depth**exponent preprocessing (viewer.cpp:331)")
-    g.add_argument("--saag_base_size", type=float, default=0.02)
+    g.add_argument("--saag_base_size", type=float, default=0.008)
     g.add_argument("--saag_aspect_ratio", type=float, default=5.0)
     g.add_argument("--saag_edge_threshold", type=float, default=0.15)
     g.add_argument("--saag_edge_shrink", type=float, default=0.3)
@@ -135,11 +135,15 @@ def cmd_infer(args) -> int:
     from fresnel_tpu.core import io as gio
     from fresnel_tpu.core.gaussians import GaussianCloud
     from fresnel_tpu.models.encoders import (
-        PatchFeatureExtractor, gradient_depth_estimate)
+        create_depth_estimator, create_feature_extractor)
 
     t0 = time.perf_counter()
     image = _load_image(args.image)
-    depth = gradient_depth_estimate(image, 256)
+    estimator = create_depth_estimator(args.depth_estimator)
+    print(f"depth estimator: {estimator.kind}"
+          + (f" ({estimator.weights_path})" if estimator.weights_path
+             else " (procedural fallback — no weights found)"))
+    depth = estimator(image, 256)
 
     if args.saag or args.checkpoint is None and args.no_model:
         from fresnel_tpu.geometry import (
@@ -158,7 +162,11 @@ def cmd_infer(args) -> int:
             pc, depth, params=sp, wrap_params=wp, shell_params=shp,
             density_params=dp, opacity=args.opacity)
     else:
-        extractor = PatchFeatureExtractor(grid=37, dim=384)
+        extractor = create_feature_extractor(args.feature_extractor,
+                                             grid=37, dim=384)
+        print(f"feature extractor: {extractor.kind}"
+              + (f" ({extractor.weights_path})" if extractor.weights_path
+                 else " (procedural fallback — no weights found)"))
         feats = extractor(image)[None]
         from fresnel_tpu.models.decoders import DirectPatchDecoder
 
@@ -351,6 +359,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--gaussians_per_patch", type=int, default=4)
     p.add_argument("--depth_scale", type=float, default=2.0)
     p.add_argument("--opacity", type=float, default=0.8)
+    p.add_argument("--depth_estimator", default="auto",
+                   choices=["auto", "depth_anything", "gradient", "center"],
+                   help="'auto' uses real Depth-Anything weights when found "
+                        "(FRESNEL_TPU_MODELS or ./models), else gradient")
+    p.add_argument("--feature_extractor", default="auto",
+                   choices=["auto", "dinov2", "patch"],
+                   help="'auto' uses real DINOv2 weights when found")
     _add_saag_quality_flags(p)
 
     p = sub.add_parser("render", help="render a cloud file to PNG")

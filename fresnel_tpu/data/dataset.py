@@ -88,6 +88,7 @@ class ImageDataset:
         self.use_augmentation = use_augmentation
         self.write_cache = write_cache
         self._extractor = None
+        self._depth_estimator = None
         self._samples: List[Sample] = []
 
         paths = sorted(p for p in self.data_dir.glob("*")
@@ -124,8 +125,10 @@ class ImageDataset:
             side = int(round(len(d) ** 0.5))
             depth = d.reshape(side, side)
         else:
-            from fresnel_tpu.models.encoders import gradient_depth_estimate
-            depth = np.asarray(gradient_depth_estimate(img, 256))
+            from fresnel_tpu.models.encoders import create_depth_estimator
+            if self._depth_estimator is None:
+                self._depth_estimator = create_depth_estimator("auto")
+            depth = np.asarray(self._depth_estimator(img, 256))
             if self.write_cache:
                 depth.astype(np.float32).tofile(depth_path)
 

@@ -45,9 +45,14 @@ def preprocess_dataset(data_dir: str, image_size: int = 518,
     import jax.numpy as jnp
 
     from fresnel_tpu.models.encoders import (
-        create_feature_extractor, gradient_depth_estimate)
+        create_depth_estimator, create_feature_extractor)
 
     extractor = create_feature_extractor(dim=feature_dim)
+    estimator = create_depth_estimator("auto")
+    for name, obj in (("features", extractor), ("depth", estimator)):
+        print(f"{name}: {obj.kind}"
+              + (f" ({obj.weights_path})" if obj.weights_path
+                 else " (procedural fallback — no weights found)"))
     suffix = _DIM_SUFFIX.get(feature_dim, f"_{feature_dim}")
     root = Path(data_dir)
     paths = sorted(p for p in root.glob("*") if p.suffix.lower() in IMG_EXTS)
@@ -71,8 +76,7 @@ def preprocess_dataset(data_dir: str, image_size: int = 518,
             img = remove_background(img)
         jimg = jnp.asarray(img)
         feats = np.asarray(extractor(jimg), np.float32)
-        depth = np.asarray(gradient_depth_estimate(jimg, depth_size),
-                           np.float32)
+        depth = np.asarray(estimator(jimg, depth_size), np.float32)
         feats.tofile(feat_path)
         depth.tofile(depth_path)
         if vlm_client is not None:

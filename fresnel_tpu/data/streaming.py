@@ -54,6 +54,7 @@ class StreamingImageDataset:
             raise FileNotFoundError(f"no images in {data_dir}")
         self._image_files: List[Path] = paths
         self._extractor = None
+        self._depth_estimator = None
         self._ensure_caches()
 
     # -- cache materialization ------------------------------------------
@@ -89,6 +90,18 @@ class StreamingImageDataset:
             need_depth = not ok(depth_path, 2)
             if not (need_rgb or need_feat or need_depth):
                 continue
+            for path, needed in ((rgb_path, need_rgb), (feat_path, need_feat),
+                                 (depth_path, need_depth)):
+                # A cache that EXISTS at the wrong byte size was written by
+                # someone else (e.g. an external depth estimator at another
+                # resolution); warn before replacing it rather than
+                # clobbering silently.
+                if needed and path.exists():
+                    import sys
+                    print(f"warning: cache {path} has unexpected size "
+                          f"{path.stat().st_size} B — recomputing at this "
+                          f"dataset's shapes (old file overwritten)",
+                          file=sys.stderr)
             img = _load_image(p, self.image_size)
             if need_rgb:
                 img.astype(np.float32).tofile(rgb_path)
@@ -96,8 +109,10 @@ class StreamingImageDataset:
                 feats = np.asarray(self._get_extractor()(img))
                 feats.astype(np.float32).tofile(feat_path)
             if need_depth:
-                from fresnel_tpu.models.encoders import gradient_depth_estimate
-                depth = np.asarray(gradient_depth_estimate(img, 256))
+                from fresnel_tpu.models.encoders import create_depth_estimator
+                if self._depth_estimator is None:
+                    self._depth_estimator = create_depth_estimator("auto")
+                depth = np.asarray(self._depth_estimator(img, 256))
                 depth.astype(np.float32).tofile(depth_path)
 
     # -- batch streaming ------------------------------------------------
@@ -137,28 +152,33 @@ class StreamingImageDataset:
 
     def _assemble(self, job_layout, rng) -> Dict[str, np.ndarray]:
         job, (B, img_f, feat_f, depth_f, idx) = job_layout
-        buf = job.wait()
-        if buf is None:
-            raise IOError(
-                f"native prefetch failed (file index {job.error_index()})")
-        S, g, c = self.image_size, self.feature_size, self.feature_dim
-        imgs = buf[:B * img_f].reshape(B, S, S, 3)
-        feats = buf[B * img_f:B * (img_f + feat_f)].reshape(B, g, g, c)
-        depths = buf[B * (img_f + feat_f):].reshape(B, 256, 256)
-        if self.use_augmentation:
-            imgs = np.stack([color_jitter(rng, im) for im in imgs])
-        else:
-            imgs = np.array(imgs)  # own the memory before the job is freed
-        batch = {
-            "image": np.transpose(imgs, (0, 3, 1, 2)),
-            "features": np.array(feats),
-            "depth": np.array(depths),
-        }
-        vlm = self._vlm_batch(idx)
-        if vlm is not None:
-            batch["vlm_density"] = vlm
-        job.close()
-        return batch
+        try:
+            buf = job.wait()
+            if buf is None:
+                raise IOError(
+                    f"native prefetch failed (file index {job.error_index()})")
+            S, g, c = self.image_size, self.feature_size, self.feature_dim
+            imgs = buf[:B * img_f].reshape(B, S, S, 3)
+            feats = buf[B * img_f:B * (img_f + feat_f)].reshape(B, g, g, c)
+            depths = buf[B * (img_f + feat_f):].reshape(B, 256, 256)
+            if self.use_augmentation:
+                imgs = np.stack([color_jitter(rng, im) for im in imgs])
+            else:
+                imgs = np.array(imgs)  # own the memory before job is freed
+            batch = {
+                "image": np.transpose(imgs, (0, 3, 1, 2)),
+                "features": np.array(feats),
+                "depth": np.array(depths),
+            }
+            vlm = self._vlm_batch(idx)
+            if vlm is not None:
+                batch["vlm_density"] = vlm
+            return batch
+        finally:
+            # Free the native buffer deterministically even on the error
+            # path — repeated failures must not pile up batch-sized mallocs
+            # until GC runs __del__.
+            job.close()
 
     def _load_sync(self, idx: np.ndarray, rng) -> Dict[str, np.ndarray]:
         S, g, c = self.image_size, self.feature_size, self.feature_dim

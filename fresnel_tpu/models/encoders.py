@@ -84,6 +84,9 @@ class PatchFeatureExtractor:
     orthogonal-ish matrix.  Entirely jit-compiled; zero downloads.
     """
 
+    kind = "patch"
+    weights_path = None
+
     def __init__(self, grid: int = 37, dim: int = 384, seed: int = 0):
         self.grid = grid
         self.dim = dim
@@ -119,19 +122,186 @@ class PatchFeatureExtractor:
         return self._fn(image)
 
 
+# ----------------------------------------------------------------------
+# Real-model wrappers + weight probing
+# ----------------------------------------------------------------------
+
+_DIM_TO_SIZE = {384: "small", 768: "base", 1024: "large"}
+
+_DINOV2_CANDIDATES = {
+    "small": ("dinov2_small.pth", "dinov2_small.pt", "dinov2_small.bin",
+              "dinov2_small.safetensors", "dinov2.pth",
+              "dinov2_vits14_pretrain.pth"),
+    "base": ("dinov2_base.pth", "dinov2_base.safetensors",
+             "dinov2_vitb14_pretrain.pth"),
+    "large": ("dinov2_large.pth", "dinov2_large.safetensors",
+              "dinov2_vitl14_pretrain.pth"),
+}
+_DEPTH_CANDIDATES = ("depth_anything_v2_small.pth",
+                     "depth_anything_v2_small.pt",
+                     "depth_anything_v2_small.safetensors",
+                     "depth_anything_v2_small.bin",
+                     "depth_anything.pth", "depth_anything.safetensors")
+
+
+def _probe_weights(candidates) -> "str | None":
+    """Search FRESNEL_TPU_MODELS (env), ./models and ~/models for the first
+    existing candidate file — the TPU analogue of the reference's
+    models/-directory availability checks (reference:
+    src/core/decoder/gaussian_decoder.cpp:43-71)."""
+    import os
+
+    roots = [os.environ.get("FRESNEL_TPU_MODELS"), "models",
+             os.path.join(os.path.expanduser("~"), "models")]
+    for root in roots:
+        if not root or not os.path.isdir(root):
+            continue
+        for name in candidates:
+            path = os.path.join(root, name)
+            if os.path.exists(path):
+                return path
+    return None
+
+
+class DINOv2FeatureExtractor:
+    """Real DINOv2 features: (H, W, 3) [0,1] -> (grid, grid, dim).
+
+    Loads a torch checkpoint STRICTLY at construction (fresnel_tpu/models/
+    vit.py converters); compiles lazily on first call.  Mirrors the
+    reference's ONNX DINOv2 bridge contract (reference:
+    scripts/inference/dinov2_inference.py:55-75: bilinear resize to 518²,
+    ImageNet normalization, patch tokens out)."""
+
+    kind = "dinov2"
+
+    def __init__(self, weights_path: str, grid: int = 37, dim: int = 384):
+        import jax
+
+        from fresnel_tpu.models.vit import (
+            DINOv2, VIT_CONFIGS, convert_dinov2_torch, _apply_flat)
+
+        size = _DIM_TO_SIZE.get(dim)
+        if size is None:
+            raise ValueError(f"no DINOv2 size with width {dim}")
+        self.grid = grid
+        self.dim = dim
+        self.weights_path = weights_path
+        self.image_size = grid * 14
+        self._model = DINOv2(image_size=self.image_size, **VIT_CONFIGS[size])
+        # eval_shape: build the params tree structure without running the
+        # 518² forward; the STRICT apply below fills every leaf from the
+        # checkpoint, so no random values can survive.
+        params = jax.eval_shape(
+            self._model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, self.image_size, self.image_size, 3)))
+        flat = convert_dinov2_torch(weights_path, size, self.image_size)
+        self.params, _ = _apply_flat(params, flat)
+        self._fn = None
+
+    def __call__(self, image: jax.Array) -> jax.Array:
+        if self._fn is None:
+            model, size = self._model, self.image_size
+
+            @jax.jit
+            def run(params, image):
+                x = jax.image.resize(image, (size, size, 3), "linear")
+                return model.apply(params, x[None])[0]
+
+            self._fn = run
+        return self._fn(self.params, image)
+
+
+class DepthAnythingEstimator:
+    """Real Depth-Anything-V2 depth: (H, W, 3) [0,1] -> (out, out) in [0,1].
+
+    Matches the reference bridge's postprocessing (reference:
+    scripts/inference/depth_inference.py:59-75): min-max normalize the
+    relative depth, then bilinear-resize to the requested output size."""
+
+    kind = "depth_anything"
+
+    def __init__(self, weights_path: str, size: str = "small"):
+        import jax
+
+        from fresnel_tpu.models.vit import (
+            DepthAnything, VIT_CONFIGS, convert_depth_anything_torch,
+            _apply_flat)
+
+        self.weights_path = weights_path
+        self._model = DepthAnything(out_size=518, **VIT_CONFIGS[size])
+        params = jax.eval_shape(self._model.init, jax.random.PRNGKey(0),
+                                jnp.zeros((1, 518, 518, 3)))
+        flat = convert_depth_anything_torch(weights_path, size)
+        self.params, _ = _apply_flat(params, flat)
+        self._fn = None
+
+    def __call__(self, image: jax.Array, out_size: int = 256) -> jax.Array:
+        if self._fn is None:
+            model = self._model
+
+            @functools.partial(jax.jit, static_argnames=("out_size",))
+            def run(params, image, out_size):
+                x = jax.image.resize(image, (518, 518, 3), "linear")
+                rel = model.apply(params, x[None])[0]     # (518,518) in [0,1]
+                return jax.image.resize(rel, (out_size, out_size), "linear")
+
+            self._fn = run
+        return self._fn(self.params, image, out_size)
+
+
+class FallbackDepthEstimator:
+    """Procedural estimator with the same callable shape as the real one."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+        self.weights_path = None
+        self._fn = (gradient_depth_estimate if kind == "gradient"
+                    else center_depth_estimate)
+
+    def __call__(self, image: jax.Array, out_size: int = 256) -> jax.Array:
+        return self._fn(image, out_size)
+
+
 def create_depth_estimator(kind: str = "auto"):
-    """Factory mirroring the reference's create_depth_estimator: returns a
-    callable image->(out_size, out_size) depth.  'auto' prefers a learned
-    model when weights exist (vit.py), else the gradient fallback."""
-    if kind in ("gradient", "auto"):
-        return gradient_depth_estimate
+    """Factory mirroring the reference's create_depth_estimator (reference:
+    src/core/depth/estimator.cpp:259-268): 'auto' probes standard weight
+    locations (FRESNEL_TPU_MODELS env var, ./models, ~/models) for a
+    Depth-Anything checkpoint and returns the real model when found, else
+    the gradient fallback.  Returns a callable (image, out_size=256) ->
+    depth with `.kind` / `.weights_path` attributes for reporting."""
+    if kind in ("auto", "depth_anything"):
+        path = _probe_weights(_DEPTH_CANDIDATES)
+        if path is not None:
+            return DepthAnythingEstimator(path)
+        if kind == "depth_anything":
+            raise FileNotFoundError(
+                "no Depth-Anything weights found (set FRESNEL_TPU_MODELS or "
+                f"place one of {_DEPTH_CANDIDATES} under ./models)")
+        return FallbackDepthEstimator("gradient")
+    if kind == "gradient":
+        return FallbackDepthEstimator("gradient")
     if kind == "center":
-        return center_depth_estimate
+        return FallbackDepthEstimator("center")
     raise ValueError(f"unknown depth estimator: {kind}")
 
 
 def create_feature_extractor(kind: str = "auto", grid: int = 37,
                              dim: int = 384):
-    """Factory mirroring create_feature_extractor; 'auto' falls back to the
-    deterministic patch extractor when no DINOv2 weights are available."""
+    """Factory mirroring the reference's create_feature_extractor (reference:
+    src/core/features/feature_extractor.cpp:154-163): 'auto' probes the
+    standard weight locations for a DINOv2 checkpoint of the requested width
+    and returns the real ViT when found, else the deterministic patch
+    extractor.  Returned callables expose `.kind` / `.weights_path`."""
+    if kind in ("auto", "dinov2"):
+        size = _DIM_TO_SIZE.get(dim)
+        if size is not None:
+            path = _probe_weights(_DINOV2_CANDIDATES[size])
+            if path is not None:
+                return DINOv2FeatureExtractor(path, grid=grid, dim=dim)
+        if kind == "dinov2":
+            raise FileNotFoundError(
+                f"no DINOv2 weights found for dim={dim} (set "
+                "FRESNEL_TPU_MODELS or place a checkpoint under ./models)")
+    elif kind not in ("patch", "fallback"):
+        raise ValueError(f"unknown feature extractor: {kind}")
     return PatchFeatureExtractor(grid=grid, dim=dim)

@@ -205,10 +205,19 @@ def main(argv=None):
     from fresnel_tpu.train.harness import Trainer
     from fresnel_tpu.losses.lpips import load_lpips
 
-    lpips = load_lpips(args.lpips_weights)
-    if lpips is None and config.lpips_weight > 0:
+    lpips_path = args.lpips_weights
+    if lpips_path is None:
+        from fresnel_tpu.models.encoders import _probe_weights
+        lpips_path = _probe_weights(
+            ("lpips_alex.pth", "lpips_alex.pt", "lpips_alex.npz",
+             "lpips.pth", "lpips.npz"))
+    lpips = load_lpips(lpips_path)
+    if lpips is not None:
+        print(f"LPIPS weights loaded from {lpips_path}")
+    elif config.lpips_weight > 0:
         print("LPIPS weights unavailable -> LPIPS term disabled "
-              "(pass --lpips_weights to enable)")
+              "(pass --lpips_weights or place lpips_alex.pth under "
+              "$FRESNEL_TPU_MODELS or ./models to enable)")
         config.lpips_weight = 0.0
 
     if args.synthetic:

@@ -1,4 +1,12 @@
-"""DINOv2/DepthAnything architecture + weight-converter tests."""
+"""DINOv2/DepthAnything architecture + weight-converter tests.
+
+The converters' ground truth is the HF torch implementations the reference
+exports from (reference: scripts/export/export_dinov2_model.py:38,
+export_depth_model.py:15).  The parity tests below build those exact torch
+modules (random init — no downloads), convert their state dicts, and require
+the Flax forward to match torch to <=1e-4, including the bicubic pos-embed
+interpolation path for 224-grid checkpoints evaluated at 518².
+"""
 
 import numpy as np
 import jax
@@ -6,7 +14,8 @@ import jax.numpy as jnp
 import pytest
 
 from fresnel_tpu.models.vit import (
-    DINOv2, DepthAnything, VIT_CONFIGS, convert_dinov2_torch, _apply_flat)
+    DINOv2, DepthAnything, VIT_CONFIGS, convert_dinov2_torch,
+    convert_depth_anything_torch, interpolate_pos_embed, _apply_flat)
 
 
 class TestDINOv2:
@@ -26,19 +35,207 @@ class TestDINOv2:
         # DINOv2-small is ~22M params (pos embed differs with image size).
         assert 18e6 < n < 26e6
 
+    def test_taps_shapes(self):
+        model = DINOv2(width=64, depth=4, heads=2, image_size=56)
+        x = jnp.zeros((2, 56, 56, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        taps = model.apply(params, x, out_indices=(1, 2, 3, 4))
+        assert len(taps) == 4
+        for t in taps:
+            assert t.shape == (2, 17, 64)   # 4*4 patches + CLS
+
     def test_depth_anything_output(self):
-        model = DepthAnything(width=64, depth=2, heads=2, out_size=32)
-        x = jnp.zeros((1, 518, 518, 3))
+        model = DepthAnything(width=64, depth=4, heads=2, out_size=32,
+                              image_size=56, out_indices=(1, 2, 3, 4),
+                              neck_channels=(8, 16, 32, 64), fusion=16,
+                              head_hidden=8)
+        x = jnp.zeros((1, 56, 56, 3))
         params = model.init(jax.random.PRNGKey(0), x)
         out = model.apply(params, x)
         assert out.shape == (1, 32, 32)
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
 
+def _tiny_hf_dinov2(torch, width=64, depth=2, heads=2, image_size=224):
+    from transformers import Dinov2Config, Dinov2Model
+
+    cfg = Dinov2Config(
+        hidden_size=width, num_hidden_layers=depth,
+        num_attention_heads=heads, mlp_ratio=4, image_size=image_size,
+        patch_size=14, layerscale_value=1.0, attn_implementation="eager")
+    torch.manual_seed(0)
+    model = Dinov2Model(cfg)
+    model.eval()
+    # Random init leaves layerscale at 1.0 and pos embeds ~N(0,1): give the
+    # weights realistic diversity so a transposition bug cannot hide.
+    sd = model.state_dict()
+    gen = torch.Generator().manual_seed(1)
+    for k, v in sd.items():
+        if v.ndim >= 1:
+            v.add_(0.05 * torch.randn(v.shape, generator=gen))
+    model.load_state_dict(sd)
+    return model
+
+
+class TestHFParity:
+    """Flax forward == HF torch forward after conversion (<=1e-4)."""
+
+    def test_dinov2_matches_hf_with_pos_interp(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+
+        width, depth, heads = 64, 2, 2
+        # Checkpoint trained at 224 (17x... 16x16 grid, 257 tokens);
+        # evaluated at 518 (37x37 grid) -> exercises bicubic interpolation.
+        hf = _tiny_hf_dinov2(torch, width, depth, heads, image_size=224)
+        assert hf.embeddings.position_embeddings.shape[1] == 16 * 16 + 1
+
+        ckpt = tmp_path / "dinov2_hf.pth"
+        torch.save(hf.state_dict(), ckpt)
+
+        rng = np.random.default_rng(0)
+        img = rng.uniform(size=(1, 518, 518, 3)).astype(np.float32)
+
+        from fresnel_tpu.models.vit import IMAGENET_MEAN, IMAGENET_STD
+        px = (img - IMAGENET_MEAN) / IMAGENET_STD
+        with torch.no_grad():
+            t_out = hf(torch.from_numpy(px.transpose(0, 3, 1, 2)))
+        t_feats = t_out.last_hidden_state[:, 1:].reshape(1, 37, 37, width)
+
+        model = DINOv2(width=width, depth=depth, heads=heads, image_size=518)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+        import fresnel_tpu.models.vit as vit
+        backup = dict(vit.VIT_CONFIGS)
+        vit.VIT_CONFIGS["tiny"] = dict(width=width, depth=depth, heads=heads)
+        try:
+            flat = convert_dinov2_torch(str(ckpt), "tiny", image_size=518)
+        finally:
+            vit.VIT_CONFIGS.clear()
+            vit.VIT_CONFIGS.update(backup)
+        params, applied = _apply_flat(params, flat)
+        assert applied == len(flat)
+
+        j_feats = model.apply(params, jnp.asarray(img))
+        err = float(np.max(np.abs(np.asarray(j_feats) - t_feats.numpy())))
+        assert err <= 1e-4, f"DINOv2 parity error {err}"
+
+    def test_depth_anything_matches_hf(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+        from transformers import (DepthAnythingConfig,
+                                  DepthAnythingForDepthEstimation)
+
+        width, depth, heads = 64, 4, 2
+        size = 224  # grid 16
+        backbone = dict(
+            model_type="dinov2", hidden_size=width, num_hidden_layers=depth,
+            num_attention_heads=heads, mlp_ratio=4, image_size=size,
+            patch_size=14, layerscale_value=1.0,
+            out_indices=[1, 2, 3, 4], apply_layernorm=True,
+            reshape_hidden_states=False, attn_implementation="eager")
+        cfg = DepthAnythingConfig(
+            backbone_config=backbone, reassemble_hidden_size=width,
+            patch_size=14, neck_hidden_sizes=[16, 32, 64, 128],
+            fusion_hidden_size=32, head_hidden_size=16,
+            depth_estimation_type="relative")
+        torch.manual_seed(0)
+        hf = DepthAnythingForDepthEstimation(cfg)
+        hf.eval()
+        sd = hf.state_dict()
+        gen = torch.Generator().manual_seed(1)
+        for k, v in sd.items():
+            if v.ndim >= 1:
+                v.add_(0.05 * torch.randn(v.shape, generator=gen))
+        hf.load_state_dict(sd)
+        ckpt = tmp_path / "depth_anything.pth"
+        torch.save(hf.state_dict(), ckpt)
+
+        rng = np.random.default_rng(1)
+        img = rng.uniform(size=(1, size, size, 3)).astype(np.float32)
+        from fresnel_tpu.models.vit import IMAGENET_MEAN, IMAGENET_STD
+        px = (img - IMAGENET_MEAN) / IMAGENET_STD
+        with torch.no_grad():
+            t_depth = hf(torch.from_numpy(px.transpose(0, 3, 1, 2))
+                         ).predicted_depth.numpy()
+
+        model = DepthAnything(
+            width=width, depth=depth, heads=heads, image_size=size,
+            out_indices=(1, 2, 3, 4), neck_channels=(16, 32, 64, 128),
+            fusion=32, head_hidden=16)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(img))
+        import fresnel_tpu.models.vit as vit
+        backup = dict(vit.VIT_CONFIGS)
+        vit.VIT_CONFIGS["tiny"] = dict(width=width, depth=depth, heads=heads)
+        try:
+            flat = convert_depth_anything_torch(str(ckpt), "tiny",
+                                                image_size=size)
+        finally:
+            vit.VIT_CONFIGS.clear()
+            vit.VIT_CONFIGS.update(backup)
+        params, applied = _apply_flat(params, flat)
+        assert applied == len(flat)
+
+        j_depth = np.asarray(model.apply(params, jnp.asarray(img), raw=True))
+        assert j_depth.shape == t_depth.shape
+        scale = max(1.0, float(np.max(np.abs(t_depth))))
+        err = float(np.max(np.abs(j_depth - t_depth))) / scale
+        assert err <= 1e-4, f"DepthAnything parity error {err}"
+
+    def test_bicubic_pos_interp_matches_torch(self):
+        torch = pytest.importorskip("torch")
+
+        rng = np.random.default_rng(2)
+        pos = rng.normal(size=(1, 16 * 16 + 1, 32)).astype(np.float32)
+        ours = interpolate_pos_embed(pos, 37)
+        grid = torch.from_numpy(
+            pos[:, 1:].reshape(1, 16, 16, 32).transpose(0, 3, 1, 2))
+        ref = torch.nn.functional.interpolate(
+            grid.double(), size=(37, 37), mode="bicubic",
+            align_corners=False).float()
+        ref = ref.permute(0, 2, 3, 1).reshape(1, 37 * 37, 32).numpy()
+        np.testing.assert_allclose(ours[:, 1:], ref, atol=2e-5)
+        np.testing.assert_allclose(ours[:, :1], pos[:, :1], atol=0)
+
+
+class TestStrictApply:
+    def _setup(self):
+        model = DINOv2(width=32, depth=1, heads=2, image_size=28)
+        x = jnp.zeros((1, 28, 28, 3))
+        params = model.init(jax.random.PRNGKey(0), x)
+        from fresnel_tpu.models.vit import _flatten_params
+        import flax
+        flat = {k: np.asarray(v) for k, v in _flatten_params(
+            flax.core.unfreeze(params)["params"]).items()}
+        return params, flat
+
+    def test_full_load_ok(self):
+        params, flat = self._setup()
+        out, applied = _apply_flat(params, flat)
+        assert applied == len(flat)
+
+    def test_missing_key_raises(self):
+        params, flat = self._setup()
+        flat.pop("norm/scale")
+        with pytest.raises(ValueError, match="not in checkpoint"):
+            _apply_flat(params, flat)
+
+    def test_unexpected_key_raises(self):
+        params, flat = self._setup()
+        flat["bogus/key"] = np.zeros((3,), np.float32)
+        with pytest.raises(ValueError, match="no parameter"):
+            _apply_flat(params, flat)
+
+    def test_shape_mismatch_raises(self):
+        params, flat = self._setup()
+        flat["cls_token"] = np.zeros((1, 1, 64), np.float32)
+        with pytest.raises(ValueError, match="shape mismatch"):
+            _apply_flat(params, flat)
+
+
 class TestWeightConverter:
-    def test_torch_roundtrip(self, tmp_path):
-        """Fabricate a torch DINOv2 state dict, convert, and check the
-        weights actually land in the Flax params."""
+    def test_torch_roundtrip_facebook_naming(self, tmp_path):
+        """Fabricate a facebook-research-style (fused qkv) torch DINOv2
+        state dict, convert, and check strict full application."""
         torch = pytest.importorskip("torch")
 
         width, depth, heads, g = 64, 2, 2, 4
@@ -77,7 +274,7 @@ class TestWeightConverter:
         vit_cfgs_backup = dict(vit.VIT_CONFIGS)
         vit.VIT_CONFIGS["tiny"] = dict(width=width, depth=depth, heads=heads)
         try:
-            flat = convert_dinov2_torch(str(ckpt), "tiny")
+            flat = convert_dinov2_torch(str(ckpt), "tiny", image_size=56)
         finally:
             vit.VIT_CONFIGS.clear()
             vit.VIT_CONFIGS.update(vit_cfgs_backup)
@@ -96,3 +293,11 @@ class TestWeightConverter:
             params2["params"]["block_0"]["attn"]["qkv"]["kernel"])
         np.testing.assert_allclose(
             k, sd["blocks.0.attn.qkv.weight"].numpy().T, atol=1e-6)
+
+    def test_backbone_only_checkpoint_refused_for_depth(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        sd = {"patch_embed.proj.weight": torch.zeros((64, 3, 14, 14))}
+        ckpt = tmp_path / "backbone_only.pth"
+        torch.save(sd, ckpt)
+        with pytest.raises(ValueError, match="no DPT neck"):
+            convert_depth_anything_torch(str(ckpt), "small")
