@@ -57,8 +57,11 @@ class TileRendererConfig:
                                  # clamped to (tile_window // 2) * tile_size
     binning: str = "auto"        # "auto" (search beyond ~96k Gaussians) |
                                  # "pairs" (window-pair scatter) | "search"
-                                 # (rank-table two-level binary search — no
-                                 # scatter; cost is output-proportional)
+                                 # (rank-table two-level binary search) |
+                                 # "chunked" (table-free: MXU chunk totals +
+                                 # on-demand in-chunk ranks; opt-in — its
+                                 # (T, M, 256) level-2 gather measured 4-6x
+                                 # SLOWER than search on real v5e, T-022)
     table_build: str = "auto"    # search-binning rank-table backend:
                                  # "auto" (= xla; the fused Pallas kernel
                                  # measured a wash, T-018) | "pallas" |
@@ -284,6 +287,130 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
     ti = ti.reshape(groups * nty_g * n_tiles_x, M)[:T]
     tv = tv.reshape(groups * nty_g * n_tiles_x, M)[:T]
     return ti, tv
+
+
+def _bin_gaussians_chunked(means2d, radii, visible, n_tiles_x, n_tiles_y,
+                           tile_size, max_per_tile):
+    """Table-free per-tile compaction: chunk totals + on-demand ranks.
+
+    Same contract (bit-identical tables) as _bin_gaussians_search, but never
+    materializes the (N, T) rank table whose build/transpose traffic
+    dominated the 1M-Gaussian forward (92 of 146 ms, round-1 VERDICT #3 /
+    experiments/profile_stages_1m.py).  Three output-proportional stages:
+
+      1. per-256-chunk tile totals as ONE small MXU matmul per chunk
+         (hy_kᵀ @ hx_k, counts <= 256 exact in bf16) -> a (T, n_chunks)
+         int32 cumulative table — 16 MB at 1M Gaussians vs the 2 GB table;
+      2. level-1 binary search of that small table finds each output slot's
+         owning chunk (13 gather sweeps over 16 MB);
+      3. level-2 recomputes the in-chunk ranks ON DEMAND: gather the chunk's
+         256 tile intervals (packed 4x-byte uint32, one gather), interval-
+         test against the slot's tile, in-chunk prefix sums as a bf16
+         triangular matmul, and take the target-th hit.
+
+    Work is O(n_chunks * T) matmul FLOPs + O(T * M * 256) level-2 lanes —
+    both ~independent of how the table-based path scaled.  Requires tile
+    grids <= 254 per side (byte packing).  Capacity overflow policy is
+    unchanged: the farthest (most occluded) Gaussians beyond M are dropped.
+
+    MEASURED (T-022, real v5e, 512², M=256): the (T, M, c) level-2 gather
+    (67M words) costs a ~650 ms floor regardless of N — 4-6x slower than
+    the rank-table search at 200k-1M Gaussians.  Kept as an opt-in
+    reference implementation (bit-identical tables, verified); the idea
+    only pays off if level-2 becomes a Pallas kernel that streams the
+    chunk intervals through VMEM instead of an XLA mega-gather.
+    """
+    ts = float(tile_size)
+    n = means2d.shape[0]
+    M = max_per_tile
+    T = n_tiles_x * n_tiles_y
+    assert n_tiles_x < 255 and n_tiles_y < 255
+
+    u = means2d[:, 0]
+    v = means2d[:, 1]
+    r = radii
+    # Same integer interval tests as _bin_gaussians — consistency contract.
+    cxlo = jnp.floor((u - r) / ts).astype(jnp.int32)
+    cxhi = jnp.floor((u + r) / ts).astype(jnp.int32)
+    cylo = jnp.floor((v - r) / ts).astype(jnp.int32)
+    cyhi = jnp.floor((v + r) / ts).astype(jnp.int32)
+    # Clamp into byte range; visibility folds in as an empty interval.
+    cxlo = jnp.clip(cxlo, 0, 254)
+    cylo = jnp.clip(cylo, 0, 254)
+    cxhi = jnp.clip(jnp.where(visible, cxhi, -1), -1, n_tiles_x - 1)
+    cyhi = jnp.clip(jnp.where(visible, cyhi, -1), -1, n_tiles_y - 1)
+
+    c = 256
+    n2 = -(-n // c) * c
+    pad = n2 - n
+    if pad:
+        cxlo = jnp.pad(cxlo, (0, pad))
+        cxhi = jnp.pad(cxhi, (0, pad), constant_values=-1)
+        cylo = jnp.pad(cylo, (0, pad))
+        cyhi = jnp.pad(cyhi, (0, pad), constant_values=-1)
+    n_chunks = n2 // c
+
+    # Stage 1: per-chunk tile totals via MXU.  hx/hy are (N2, ntiles) —
+    # 32-wide at 512² — tiny compared to the (N2, T) product, which is
+    # never formed: totals[k, ty, tx] = sum_j hy[k*c+j, ty] * hx[k*c+j, tx].
+    ax = jnp.arange(n_tiles_x, dtype=jnp.int32)
+    ay = jnp.arange(n_tiles_y, dtype=jnp.int32)
+    hx = ((ax[None, :] >= cxlo[:, None]) & (ax[None, :] <= cxhi[:, None])
+          ).astype(jnp.bfloat16)                              # (N2, ntx)
+    hy = ((ay[None, :] >= cylo[:, None]) & (ay[None, :] <= cyhi[:, None])
+          ).astype(jnp.bfloat16)                              # (N2, nty)
+    totals = jnp.einsum(
+        "kjy,kjx->kyx", hy.reshape(n_chunks, c, n_tiles_y),
+        hx.reshape(n_chunks, c, n_tiles_x),
+        preferred_element_type=jnp.float32)                   # (nch, nty, ntx)
+    cumtot_t = jnp.cumsum(
+        totals.reshape(n_chunks, T).astype(jnp.int32), axis=0).T  # (T, nch)
+
+    count = jnp.minimum(cumtot_t[:, -1], M)
+    target = (jnp.arange(M, dtype=jnp.int32) + 1)[None, :]    # (1, M)
+
+    # Level 1: first chunk k with cumtot(t, k) >= m + 1.
+    lo = jnp.zeros((T, M), jnp.int32)
+    hi = jnp.full((T, M), n_chunks, jnp.int32)
+    for _ in range(max(1, n_chunks.bit_length())):
+        mid = (lo + hi) >> 1
+        val = jnp.take_along_axis(
+            cumtot_t, jnp.minimum(mid, n_chunks - 1), axis=1)
+        ge = val >= target
+        hi = jnp.where(ge, mid, hi)
+        lo = jnp.where(ge, lo, mid + 1)
+    k = jnp.minimum(hi, n_chunks - 1)                         # (T, M)
+    base_k = jnp.where(
+        k > 0, jnp.take_along_axis(cumtot_t, jnp.maximum(k - 1, 0), axis=1),
+        0)
+    target2 = target - base_k                                 # (T, M) in [1,c]
+
+    # Stage 3: on-demand in-chunk rank.  Intervals packed one-uint32-per-
+    # Gaussian (biased +1 so the empty interval -1 packs as 0) so the
+    # per-slot gather moves 1 word, not 4.
+    iv = (jnp.uint32(cxlo + 1)
+          | (jnp.uint32(cxhi + 1) << 8)
+          | (jnp.uint32(cylo + 1) << 16)
+          | (jnp.uint32(cyhi + 1) << 24))                     # (N2,)
+    gidx = k[..., None] * c + jnp.arange(c, dtype=jnp.int32)  # (T, M, c)
+    ivk = iv[gidx]                                            # (T, M, c)
+    t_ids = jnp.arange(T, dtype=jnp.uint32)
+    tx1 = (t_ids % jnp.uint32(n_tiles_x) + 1)[:, None, None]  # biased +1
+    ty1 = (t_ids // jnp.uint32(n_tiles_x) + 1)[:, None, None]
+    hit = ((tx1 >= (ivk & 0xFF)) & (tx1 <= ((ivk >> 8) & 0xFF))
+           & (ty1 >= ((ivk >> 16) & 0xFF)) & (ty1 <= (ivk >> 24)))
+    # In-chunk inclusive prefix as a bf16 triangular matmul (exact <= 256),
+    # then the target-th hit is the first index whose prefix reaches it.
+    U = jnp.tril(jnp.ones((c, c), jnp.bfloat16))              # pref = hit @ Uᵀ
+    pref = jnp.einsum("tmc,jc->tmj", hit.astype(jnp.bfloat16), U,
+                      preferred_element_type=jnp.bfloat16)    # (T, M, c)
+    idx_in = jnp.sum((pref.astype(jnp.int32) < target2[..., None])
+                     .astype(jnp.int32), axis=-1)             # (T, M)
+
+    tile_valid = jnp.arange(M, dtype=jnp.int32)[None, :] < count[:, None]
+    tile_indices = jnp.where(
+        tile_valid, jnp.minimum(k * c + idx_in, n2 - 1), 0)
+    return tile_indices, tile_valid
 
 
 def _search_from_masks(hx, hy, n2, n_tiles_x, n_tiles_y, M):
@@ -528,15 +655,18 @@ def render_tiled(
     m_cap = -(-m_cap // cfg.chunk) * cfg.chunk
 
     binning = cfg.binning
-    if binning == "auto":  # two-level search: ties pairs at 100k, wins above
-        # Pair-scatter cost grows ~0.7 us/Gaussian; two-level search
-        # binning grows ~0.13 us/Gaussian with a ~20 ms floor (T-011,
-        # T-013).  Measured crossover at 512^2: tie at 100k, search wins
-        # beyond.
+    if binning == "auto":
+        # Pair-scatter cost grows ~0.7 us/Gaussian; the rank-table search
+        # is output-proportional beyond that.  Crossover at 512²: ~100k.
+        # NOTE the table-free "chunked" path is NOT auto-selected: on real
+        # v5e its (T, M, 256) level-2 interval gather costs a ~650 ms floor
+        # (4-6x slower than search at 200k-1M, T-022) — it only wins if
+        # that gather moves into a Pallas kernel.
         binning = "search" if N >= 98304 else "pairs"
-    bin_fn = (_bin_gaussians_search if binning == "search"
-              else _bin_gaussians)
-    if binning == "search":
+    if binning == "chunked":
+        tile_idx, tile_valid = _bin_gaussians_chunked(
+            means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap)
+    elif binning == "search":
         # Bound the bf16 rank-table slab to ~2 GB (2^30 bf16 elements) by
         # scanning tile-row groups: keeps 5M Gaussians (the reference's
         # sort cap) inside HBM.  groups=1 up to ~1M @512^2 (unchanged).
@@ -546,12 +676,12 @@ def render_tiled(
         while (n2_est * T_tiles_all) // groups > (1 << 30) \
                 and groups < n_tiles_y:
             groups *= 2
-        tile_idx, tile_valid = bin_fn(
+        tile_idx, tile_valid = _bin_gaussians_search(
             means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
             tile_window=cfg.tile_window, groups=groups,
             table=cfg.table_build, pallas_interpret=cfg.pallas_interpret)
     else:
-        tile_idx, tile_valid = bin_fn(
+        tile_idx, tile_valid = _bin_gaussians(
             means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
             tile_window=cfg.tile_window)
 
