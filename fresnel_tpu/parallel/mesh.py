@@ -58,7 +58,7 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh,
     step_fn performs its own jax.lax.pmean over `axis` for gradients.
     Prefer `jit_data_parallel` below for the simpler jit-partitioner route.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     state_spec = P()          # replicated
     batch_spec = P(axis)      # leading dim sharded
@@ -66,7 +66,7 @@ def data_parallel_step(step_fn: Callable, mesh: Mesh,
         step_fn, mesh=mesh,
         in_specs=(state_spec, batch_spec, state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False)
+        check_vma=False)
 
 
 def jit_data_parallel(step_fn: Callable, donate_state: bool = True) -> Callable:

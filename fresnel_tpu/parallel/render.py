@@ -27,7 +27,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fresnel_tpu.core.camera import Camera
@@ -45,7 +45,7 @@ def render_batch_sharded(positions, scales, rotations, colors, opacities,
         )(p, s, r, c, o)
 
     f = shard_map(one_shard, mesh=mesh, in_specs=(P("data"),) * 5,
-                  out_specs=P("data"), check_rep=False)
+                  out_specs=P("data"), check_vma=False)
     return jax.jit(f)(positions, scales, rotations, colors, opacities)
 
 
@@ -58,18 +58,17 @@ def render_gaussian_sharded(positions, scales, rotations, colors, opacities,
     n_dev = mesh.devices.size
 
     def one_shard(p, s, r, c, o):
-        # Local compositing of this depth-slab against a black background.
-        img = render_tiled(p, s, r, c, o, camera, background=(0.0, 0.0, 0.0),
-                           config=config)
-        # Recover the slab transmittance from the alpha identity:
-        # render(bg=1) = color + T, so T = render_bg1 - render_bg0.
-        img_bg1 = render_tiled(p, s, r, c, o, camera,
-                               background=(1.0, 1.0, 1.0), config=config)
-        T = jnp.clip(img_bg1 - img, 0.0, 1.0)         # (3, H, W)
+        # Local compositing of this depth-slab against a black background;
+        # the compositor's own residual transmittance comes out alongside
+        # (one render per shard — no bg=1 re-render needed).
+        img, T = render_tiled(p, s, r, c, o, camera,
+                              background=(0.0, 0.0, 0.0),
+                              return_transmittance=True, config=config)
+        T = jnp.broadcast_to(T[None], (3,) + T.shape)  # (3, H, W)
         return jnp.stack([img, T])[None]               # (1, 2, 3, H, W)
 
     f = shard_map(one_shard, mesh=mesh, in_specs=(P("data"),) * 5,
-                  out_specs=P("data"), check_rep=False)
+                  out_specs=P("data"), check_vma=False)
     parts = jax.jit(f)(positions, scales, rotations, colors, opacities)
     # parts: (D, 2, 3, H, W) — one (color, T) partial per depth slab.
 
@@ -109,7 +108,7 @@ def render_pixel_sharded(positions, scales, rotations, colors, opacities,
         return img[None]                                   # (1, 3, band_h, W)
 
     f = shard_map(one_band, mesh=mesh, in_specs=(P(),) * 5,
-                  out_specs=P("data"), check_rep=False)
+                  out_specs=P("data"), check_vma=False)
     bands = jax.jit(f)(positions, scales, rotations, colors, opacities)
     # bands: (D, 3, band_h, W) sharded on the leading axis -> (3, H, W).
     return jnp.concatenate([bands[d] for d in range(n_dev)], axis=1)

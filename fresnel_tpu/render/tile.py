@@ -593,7 +593,8 @@ def _composite_tiles(px, py, g_mean, g_conic, g_color, g_op, g_depth, g_radius,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "return_depth", "background"),
+    static_argnames=("config", "return_depth", "return_transmittance",
+                     "background"),
 )
 def render_tiled(
     positions: jax.Array,
@@ -605,12 +606,19 @@ def render_tiled(
     phases: Optional[jax.Array] = None,
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0),
     return_depth: bool = False,
+    return_transmittance: bool = False,
     config: TileRendererConfig = TileRendererConfig(),
 ):
     """Render a Gaussian cloud to a (3, H, W) image in [0, 1].
 
     `phases` (unit interval, per Gaussian) activates interference blending
     when config.use_phase_blending is set.
+
+    `return_transmittance` appends the per-pixel residual transmittance
+    map (H, W) — the compositor already computes it, so callers that need
+    (color, T) partials (e.g. the Gaussian-axis-sharded renderer's
+    associative over-combine, parallel/render.py) get it for free instead
+    of a second render.  Order: img[, depth][, transmittance].
     """
     cfg = config
     H, W = camera.height, camera.width
@@ -751,8 +759,14 @@ def render_tiled(
     img = img.transpose(0, 2, 1, 3, 4).reshape(n_tiles_y * ts, n_tiles_x * ts, 3)
     img = jnp.clip(img[:H, :W], 0.0, 1.0).transpose(2, 0, 1)
 
+    def _untile(x):
+        x = x.reshape(n_tiles_y, n_tiles_x, ts, ts)
+        return x.transpose(0, 2, 1, 3).reshape(
+            n_tiles_y * ts, n_tiles_x * ts)[:H, :W]
+
+    out = (img,)
     if return_depth:
-        dep = acc_d.reshape(n_tiles_y, n_tiles_x, ts, ts)
-        dep = dep.transpose(0, 2, 1, 3).reshape(n_tiles_y * ts, n_tiles_x * ts)
-        return img, dep[:H, :W]
-    return img
+        out += (_untile(acc_d),)
+    if return_transmittance:
+        out += (_untile(Tr),)
+    return out if len(out) > 1 else img

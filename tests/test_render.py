@@ -73,6 +73,23 @@ class TestGoldenAgreement:
         # Center depth should be near camera distance 2 weighted by alpha.
         assert 0.5 < float(depth[32, 32]) <= 2.5
 
+    def test_transmittance_output_matches_bg_identity(self):
+        # The plumbed-out T must equal the alpha identity
+        # render(bg=1) - render(bg=0), the double-render it replaces
+        # (parallel/render.py round-1 #10).
+        cloud = GaussianCloud.test_cloud(80, seed=5, spread=0.4, z_offset=-2.0)
+        cam = Camera.default_training(64)
+        img0, T = render_tiled(*render_args(cloud, cam),
+                               return_transmittance=True)
+        img1 = render_tiled(*render_args(cloud, cam),
+                            background=(1.0, 1.0, 1.0))
+        assert T.shape == (64, 64)
+        assert float(jnp.max(jnp.abs((img1 - img0) - T[None]))) < 1e-5
+        img, depth, T2 = render_tiled(*render_args(cloud, cam),
+                                      return_depth=True,
+                                      return_transmittance=True)
+        assert float(jnp.max(jnp.abs(T2 - T))) == 0.0
+
 
 class TestDifferentiability:
     def test_grad_flows_to_all_params(self):
