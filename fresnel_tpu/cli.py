@@ -161,6 +161,8 @@ def cmd_infer(args) -> int:
         cloud = to_surface_gaussians(
             pc, depth, params=sp, wrap_params=wp, shell_params=shp,
             density_params=dp, opacity=args.opacity)
+        from fresnel_tpu.viewer.html_viewer import saag_categories
+        categories = saag_categories(256 * 256, wp, shp, dp)
     else:
         extractor = create_feature_extractor(args.feature_extractor,
                                              grid=37, dim=384)
@@ -203,6 +205,7 @@ def cmd_infer(args) -> int:
             positions=out["positions"][0], scales=out["scales"][0],
             rotations=out["rotations"][0], colors=out["colors"][0],
             opacities=out["opacities"][0])
+        categories = None
 
     jax.block_until_ready(cloud.positions)
     dt = (time.perf_counter() - t0) * 1000
@@ -218,6 +221,8 @@ def cmd_infer(args) -> int:
             rotations=jnp.asarray(np.asarray(cloud.rotations)[live]),
             colors=jnp.asarray(np.asarray(cloud.colors)[live]),
             opacities=jnp.asarray(op[live]))
+        if categories is not None:
+            categories = categories[live]
 
     out_path = Path(args.output)
     if out_path.suffix == ".ply":
@@ -226,6 +231,13 @@ def cmd_infer(args) -> int:
         gio.save_binary(out_path, cloud)
     print(f"{cloud.num_gaussians} gaussians -> {out_path}  ({dt:.0f} ms "
           f"incl. compile)")
+    if getattr(args, "html", None):
+        from fresnel_tpu.viewer.html_viewer import export_html
+        n = export_html(cloud, args.html, max_gaussians=args.max_gaussians,
+                        categories=categories)
+        print(f"viewer with {n} gaussians -> {args.html}"
+              + (" (SAAG category toggles live)"
+                 if categories is not None else ""))
     return 0
 
 
@@ -366,6 +378,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--feature_extractor", default="auto",
                    choices=["auto", "dinov2", "patch"],
                    help="'auto' uses real DINOv2 weights when found")
+    p.add_argument("--html", default=None, metavar="OUT.html",
+                   help="also export the interactive HTML viewer (with live "
+                        "SAAG category toggles on the --saag path)")
+    p.add_argument("--max_gaussians", type=int, default=30000,
+                   help="viewer preview cap (highest-opacity kept)")
     _add_saag_quality_flags(p)
 
     p = sub.add_parser("render", help="render a cloud file to PNG")

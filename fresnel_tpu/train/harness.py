@@ -402,6 +402,10 @@ class Trainer:
         self._make_optimizer(epochs * steps_per_epoch)
 
         first = next(iter(dataset.batches(cfg.batch_size, nprng)))
+        # SAAG prior point count follows the ACTUAL depth-cache side, not a
+        # hardcoded 256 (a differently sized cache would silently mis-size
+        # stochastic-K for experiments 1/3).
+        self._depth_side = int(first["depth"].shape[-1])
         if state is None:
             state = self.init_state(first)
             if mesh is not None:
@@ -459,7 +463,8 @@ class Trainer:
         if self.config.experiment in (4, 5):
             return self.config.n_spiral_points
         if self.config.experiment in (1, 3):
-            return (256 // SAAG_SUBSAMPLE) ** 2  # SAAG prior point count
+            side = getattr(self, "_depth_side", 256)
+            return (side // SAAG_SUBSAMPLE) ** 2  # SAAG prior point count
         return self.config.feature_size ** 2 * K
 
     # ------------------------------------------------------------------
