@@ -98,6 +98,12 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--base_channels", type=int, default=32)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--dataset", default="folder",
+                   choices=["folder", "nyuv2", "synthetic"],
+                   help="'nyuv2' streams NYU Depth V2 from HuggingFace "
+                        "(reference utils/depth_dataset.py:110-197; needs "
+                        "network)")
+    p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     cfg = DepthTrainConfig(
@@ -111,11 +117,15 @@ def main(argv=None):
     import optax
     import flax.serialization as ser
 
-    if args.synthetic:
+    if args.synthetic or args.dataset == "synthetic":
         from fresnel_tpu.data.depth_dataset import SyntheticDepthDataset
         dataset = SyntheticDepthDataset(n_samples=64,
                                         image_size=cfg.image_size,
                                         seed=cfg.seed)
+    elif args.dataset == "nyuv2":
+        from fresnel_tpu.data.depth_dataset import NYUDepthV2Dataset
+        dataset = NYUDepthV2Dataset(image_size=cfg.image_size,
+                                    max_samples=args.max_samples)
     else:
         from fresnel_tpu.data.depth_dataset import FolderDepthDataset
         dataset = FolderDepthDataset(cfg.data_dir, image_size=cfg.image_size)

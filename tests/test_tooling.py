@@ -314,3 +314,65 @@ class TestDepthTraining:
         total, parts = depth_losses(pred, target)
         assert bool(jnp.isfinite(total))
         assert set(parts) == {"si", "grad"}
+
+
+class TestDepthDatasets:
+    def test_augmentation_pairs_spatial_transforms(self):
+        from fresnel_tpu.data.depth_dataset import DepthAugmentation
+
+        # A bright-left / dark-right RGB with a matching depth ramp: after
+        # any paired flip/crop, the bright RGB side must stay the near
+        # depth side.
+        rgb = np.zeros((64, 64, 3), np.float32)
+        rgb[:, :32] = 1.0
+        depth = np.zeros((64, 64), np.float32)
+        depth[:, 32:] = 1.0
+        aug = DepthAugmentation(size=48, jitter=False)
+        rng = np.random.default_rng(3)
+        for _ in range(6):
+            r, d = aug(rng, rgb, depth)
+            assert r.shape == (48, 48, 3) and d.shape == (48, 48)
+            bright = r.mean(-1) > 0.5
+            # Correlation: bright pixels <-> low depth, regardless of flip.
+            assert d[bright].mean() < d[~bright].mean()
+
+    def test_nyuv2_batches_via_mocked_hf(self, monkeypatch):
+        from fresnel_tpu.data import depth_dataset as dd
+
+        class FakeHF:
+            def __init__(self, n):
+                self._n = n
+
+            def __len__(self):
+                return self._n
+
+            def __getitem__(self, i):
+                rng = np.random.default_rng(i)
+                return {"image": rng.random((3, 288, 384)).astype(np.float32),
+                        "depth": rng.random((1, 288, 384)).astype(np.float32)}
+
+            def select(self, idx):
+                return FakeHF(len(list(idx)))
+
+        import datasets
+
+        monkeypatch.setattr(datasets, "load_dataset",
+                            lambda name, split: FakeHF(8))
+        ds = dd.NYUDepthV2Dataset(image_size=32, max_samples=4)
+        assert len(ds) == 4
+        batch = next(iter(ds.batches(2, np.random.default_rng(0))))
+        assert batch["image"].shape == (2, 3, 32, 32)
+        assert batch["depth"].shape == (2, 32, 32)
+        assert 0.0 <= batch["depth"].min() and batch["depth"].max() <= 1.0
+
+    def test_pseudo_labels_default_auto(self, tmp_path):
+        from PIL import Image
+
+        from fresnel_tpu.data.depth_dataset import generate_pseudo_labels
+
+        Image.fromarray(np.full((32, 32, 3), 100, np.uint8)).save(
+            tmp_path / "a.png")
+        n = generate_pseudo_labels(str(tmp_path), depth_size=64)
+        assert n == 1
+        d = np.fromfile(tmp_path / "a_pseudo_depth.bin", np.float32)
+        assert d.size == 64 * 64 and np.isfinite(d).all()
