@@ -287,6 +287,24 @@ class TestSearchBinning:
             np.asarray(jnp.where(tv1, ti1, -1)),
             np.asarray(jnp.where(tvp, tip, -1)))
 
+    @pytest.mark.parametrize("n", [300, 5000])
+    def test_chunked_tables_identical(self, n):
+        # The opt-in table-free chunked path (T-022: slower on TPU, kept as
+        # a verified reference implementation) must stay bit-identical.
+        from fresnel_tpu.render.tile import (
+            _bin_gaussians_chunked, _bin_gaussians_search)
+
+        cam = Camera.default_training(128)
+        cloud = GaussianCloud.test_cloud(n, seed=n + 1, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+        m2, rad, vis = self._sorted_projection(cloud, cam)
+        ti1, tv1 = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, 64)
+        ti2, tv2 = _bin_gaussians_chunked(m2, rad, vis, 8, 8, 16, 64)
+        np.testing.assert_array_equal(np.asarray(tv1), np.asarray(tv2))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(tv1, ti1, -1)),
+            np.asarray(jnp.where(tv2, ti2, -1)))
+
     def test_grouped_scan_nondivisible_rows(self):
         # 6 tile rows with 4 groups forces row padding (nty2=8, nty_g=2).
         from fresnel_tpu.render.tile import _bin_gaussians_search
