@@ -298,6 +298,26 @@ class TestSaagQualityFlags:
         assert shp == VolumetricShellParams()
         assert dp == AdaptiveDensityParams(seed=dp.seed)
 
+    def test_infer_saag_html_end_to_end(self, tmp_path):
+        # The full CLI path: image -> SAAG cloud -> PLY + HTML viewer with
+        # live category toggles (compaction must keep categories aligned).
+        from PIL import Image
+
+        from fresnel_tpu.cli import main as cli_main
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        img[16:48, 16:48] = [200, 60, 60]
+        Image.fromarray(img).save(tmp_path / "in.png")
+        out_ply = tmp_path / "out.ply"
+        out_html = tmp_path / "view.html"
+        rc = cli_main(["infer", str(tmp_path / "in.png"), str(out_ply),
+                       "--saag", "--html", str(out_html),
+                       "--max_gaussians", "2000"])
+        assert rc == 0
+        assert out_ply.exists()
+        html = out_html.read_text()
+        assert "HAS_CATS = true" in html and "shell back" in html
+
 
 class TestDepthTraining:
     def test_tiny_depth_net_step(self):
