@@ -66,6 +66,16 @@ class DirectPatchDecoder(nn.Module):
     # Depth fusion
     use_depth_fusion: bool = False
     depth_feature_dim: int = 64
+    # Head-initialization biases (TPU addition; 0.0 = exact reference
+    # behavior).  At raw=0 the reference head emits sigma ~= 0.2 world units
+    # (~18 px at the training camera) and opacity 0.5 — T-023 measured that
+    # render-loss training from there converges to a large-scale/low-opacity
+    # blur equilibrium, while a direct fit STARTED at surface-like params
+    # (sigma ~= patch pitch, opacity ~0.8) reaches SSIM 0.99 on the same
+    # budget.  scale_bias=-2.6 / opacity_bias=1.5 move the INIT into that
+    # basin without changing the reachable set.
+    scale_bias: float = 0.0
+    opacity_bias: float = 0.0
 
     @property
     def output_per_gaussian(self) -> int:
@@ -132,11 +142,12 @@ class DirectPatchDecoder(nn.Module):
         if elevation is not None and azimuth is not None:
             positions = rotate_positions_for_pose(positions, elevation, azimuth)
 
-        scales = jax.nn.softplus(jnp.clip(raw_scale, -10.0, 20.0) + 1.0) * 0.15
+        scales = jax.nn.softplus(
+            jnp.clip(raw_scale, -10.0, 20.0) + 1.0 + self.scale_bias) * 0.15
         scales = jnp.clip(scales, 1e-6, 2.0)
         rotations = rotation_6d_to_quaternion(rot_6d)
         colors = jax.nn.sigmoid(raw_color)
-        opacities = jax.nn.sigmoid(raw_opacity)
+        opacities = jax.nn.sigmoid(raw_opacity + self.opacity_bias)
 
         if self.use_edge_aware and edge_strength is not None:
             edge = edge_strength[..., 0][..., None]             # (B, H, W, 1)
@@ -186,6 +197,9 @@ class PhysicsDirectPatchDecoder(nn.Module):
     # (gaussian_decoder_models.py:1027-1030 — inert); here the fringe
     # intensity actually modulates opacity near depth edges.
     use_diffraction_placement: bool = False
+    # Head-init biases, see DirectPatchDecoder.
+    scale_bias: float = 0.0
+    opacity_bias: float = 0.0
 
     @nn.compact
     def __call__(
@@ -228,11 +242,12 @@ class PhysicsDirectPatchDecoder(nn.Module):
              base_z], axis=-1)
 
         scales = jnp.clip(
-            jax.nn.softplus(jnp.clip(raw_scale, -10.0, 20.0) + 1.0) * 0.15,
+            jax.nn.softplus(jnp.clip(raw_scale, -10.0, 20.0) + 1.0
+                            + self.scale_bias) * 0.15,
             1e-6, 2.0)
         rotations = rotation_6d_to_quaternion(rot_6d)
         colors = jax.nn.sigmoid(raw_color)
-        opacities = jax.nn.sigmoid(raw_opacity)
+        opacities = jax.nn.sigmoid(raw_opacity + self.opacity_bias)
 
         if self.use_diffraction_placement and depth is not None:
             from fresnel_tpu.physics.diffraction import FresnelDiffraction

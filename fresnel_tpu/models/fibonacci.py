@@ -54,6 +54,9 @@ class FibonacciPatchDecoder(nn.Module):
     use_phase_output: bool = False
     use_pose_encoding: bool = False
     pose_embed_dim: int = 64
+    # Head-init biases, see decoders.DirectPatchDecoder.
+    scale_bias: float = 0.0
+    opacity_bias: float = 0.0
 
     @nn.compact
     def __call__(
@@ -108,11 +111,12 @@ class FibonacciPatchDecoder(nn.Module):
                 positions[:, None], elevation, azimuth)[:, 0]
 
         scales = jnp.clip(
-            jax.nn.softplus(jnp.clip(raw_scale, -10, 20) + 1.0) * 0.15,
+            jax.nn.softplus(jnp.clip(raw_scale, -10, 20) + 1.0
+                            + self.scale_bias) * 0.15,
             1e-6, 2.0)
         rotations = rotation_6d_to_quaternion(rot_6d)
         colors = jax.nn.sigmoid(raw_color)
-        opacities = jax.nn.sigmoid(raw_op)
+        opacities = jax.nn.sigmoid(raw_op + self.opacity_bias)
 
         if self.use_pose_encoding and elevation is not None and azimuth is not None:
             emb = PoseEncoder(self.pose_embed_dim)(elevation, azimuth)

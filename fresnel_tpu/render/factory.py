@@ -83,12 +83,14 @@ def make_renderer(name: str, *, use_phase_blending: bool = False,
 
 def select_training_renderer(config, physics_config, hfgs_config) -> Callable:
     """Reference renderer-selection logic over the config triple."""
+    mpt = getattr(config, "max_per_tile", 256)
     if hfgs_config is not None and hfgs_config.use_fourier_renderer:
         return make_renderer("tile", use_phase_blending=True,
-                             phase_amplitude=0.3)
+                             phase_amplitude=0.3, max_per_tile=mpt)
     if config.experiment == 4 and config.use_phase_blending:
         return make_renderer("fourier")
     if physics_config is not None and physics_config.use_wave_rendering:
         return make_renderer("wave")
     return make_renderer("tile", use_phase_blending=config.use_phase_blending,
-                         phase_amplitude=config.phase_amplitude)
+                         phase_amplitude=config.phase_amplitude,
+                         max_per_tile=mpt)

@@ -85,6 +85,24 @@ class TrainingConfig:
     # torch.cuda.amp usage (reference: train_direct_decoder.py AMP+scaler).
     # Decoder forward runs in bfloat16; render/loss/optimizer stay float32.
     use_amp: bool = False
+    # Static per-tile Gaussian capacity of the training rasterizer.  The
+    # reference's per-pixel loop has NO cap (it walks every bbox-overlapping
+    # Gaussian, differentiable_renderer.py:582-667); our tiled renderer bins
+    # at most this many Gaussians per 16px tile in depth order and silently
+    # drops the rest — which also severs their gradients.  256 is plenty once
+    # a model has converged to sane scales, but early in training decoders
+    # sit in a large-scale/low-opacity regime where >50% of tiles overflow
+    # (measured: p90 1933 hits/tile on an exp-2 checkpoint), and the severed
+    # gradients can lock that blur in.  Raise for training parity with the
+    # reference (cost: composite time scales linearly with the cap).
+    max_per_tile: int = 256
+    # Decoder head-init biases (0.0 = exact reference head behavior).
+    # --surface_init sets (-2.6, 1.5): outputs START at surface-like params
+    # (sigma ~= patch pitch, opacity ~0.8) — the basin the T-023 direct fit
+    # converges from, instead of the blur equilibrium the reference init
+    # falls into on render loss.
+    scale_bias: float = 0.0
+    opacity_bias: float = 0.0
 
 
 @dataclasses.dataclass

@@ -50,6 +50,10 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
         feature_dim=config.feature_dim,
         gaussians_per_patch=config.gaussians_per_patch,
     )
+    head_bias = dict(
+        scale_bias=getattr(config, "scale_bias", 0.0),
+        opacity_bias=getattr(config, "opacity_bias", 0.0),
+    )
     if config.experiment == 2:
         if physics_config.use_wave_rendering and not config.use_phase_output:
             from fresnel_tpu.models.decoders import PhysicsDirectPatchDecoder
@@ -58,7 +62,7 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
                 learnable_wavelength=physics_config.learnable_wavelength,
                 focal_depth=physics_config.focal_depth,
                 use_diffraction_placement=physics_config.use_diffraction_placement,
-                **common)
+                **head_bias, **common)
         from fresnel_tpu.models.decoders import DirectPatchDecoder
         return DirectPatchDecoder(
             use_fresnel_zones=config.use_fresnel_zones,
@@ -70,7 +74,7 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
             use_pose_encoding=config.use_pose_encoding,
             use_depth_fusion=config.use_depth_fusion,
             depth_feature_dim=config.depth_feature_dim,
-            **common)
+            **head_bias, **common)
     if config.experiment == 4:
         from fresnel_tpu.models.fibonacci import FibonacciPatchDecoder
         return FibonacciPatchDecoder(
@@ -80,6 +84,7 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
             num_fresnel_zones=config.num_fresnel_zones,
             use_phase_output=config.use_phase_output,
             use_pose_encoding=config.use_pose_encoding,
+            **head_bias,
         )
     if config.experiment == 5:
         from fresnel_tpu.models.nca import NCAGaussianDecoder

@@ -105,6 +105,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_amp", action="store_true",
                    help="bf16 decoder compute (fp32 master weights) — the "
                         "TPU-native equivalent of torch AMP")
+    p.add_argument("--scale_bias", type=float, default=0.0,
+                   help="Additive bias inside the scale head's softplus "
+                        "(0 = reference behavior)")
+    p.add_argument("--opacity_bias", type=float, default=0.0,
+                   help="Additive bias inside the opacity sigmoid "
+                        "(0 = reference behavior)")
+    p.add_argument("--surface_init", action="store_true",
+                   help="Umbrella: start decoder heads at surface-like "
+                        "outputs (scale_bias=-2.6, opacity_bias=1.5) — "
+                        "the basin the T-023 direct fit succeeds from")
+    p.add_argument("--max_per_tile", type=int, default=256,
+                   help="Per-tile Gaussian capacity of the training "
+                        "rasterizer (the reference's loop is uncapped; "
+                        "raise when decoders are in the early large-"
+                        "scale regime so occluded splats keep gradients)")
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="Path to LPIPS weights (.npz or torch ckpt); absent "
                         "-> LPIPS term disabled like the reference's "
@@ -122,6 +137,14 @@ def configs_from_args(args):
         args.use_wave_rendering = True
         args.use_phase_retrieval_loss = True
         print("=== QSR (Quantum Scene Representation) ENABLED ===")
+
+    # Surface-init umbrella (TPU addition, T-023): start heads in the
+    # direct-fit basin instead of the reference's blur-prone init.
+    if args.surface_init:
+        if args.scale_bias == 0.0:
+            args.scale_bias = -2.6
+        if args.opacity_bias == 0.0:
+            args.opacity_bias = 1.5
 
     config = TrainingConfig(
         experiment=args.experiment,
@@ -162,6 +185,9 @@ def configs_from_args(args):
         num_devices=args.num_devices,
         seed=args.seed,
         use_amp=args.use_amp,
+        max_per_tile=args.max_per_tile,
+        scale_bias=args.scale_bias,
+        opacity_bias=args.opacity_bias,
     )
     physics = PhysicsConfig(
         use_wave_rendering=args.use_wave_rendering,

@@ -178,3 +178,36 @@ class TestCLI:
         assert config.use_phase_output
         assert physics.use_wave_rendering
         assert hfgs.use_phase_retrieval_loss
+
+    def test_max_per_tile_threads_to_renderer(self):
+        # The reference's training loop is uncapped (differentiable_
+        # renderer.py:582-667); --max_per_tile raises our rasterizer's
+        # per-tile capacity so occluded splats keep gradients early in
+        # training.  Guard the flag -> config -> renderer plumbing.
+        from fresnel_tpu.train.train_gaussian_decoder import (
+            build_parser, configs_from_args)
+        from fresnel_tpu.render.factory import select_training_renderer
+        args = build_parser().parse_args(["--max_per_tile", "512"])
+        config, physics, hfgs, hfts = configs_from_args(args)
+        assert config.max_per_tile == 512
+        render = select_training_renderer(config, physics, hfgs)
+        from fresnel_tpu.render.tile import TileRendererConfig
+        cfgs = [c.cell_contents for c in render.__closure__
+                if isinstance(c.cell_contents, TileRendererConfig)]
+        assert cfgs and cfgs[0].max_per_tile == 512
+
+    def test_surface_init_umbrella(self):
+        # --surface_init biases the decoder heads into the direct-fit basin
+        # (T-023); explicit --scale_bias/--opacity_bias win over it.
+        from fresnel_tpu.train.train_gaussian_decoder import (
+            build_parser, configs_from_args)
+        from fresnel_tpu.train.harness import build_decoder
+        args = build_parser().parse_args(["--surface_init"])
+        config, physics, *_ = configs_from_args(args)
+        assert config.scale_bias == -2.6 and config.opacity_bias == 1.5
+        model = build_decoder(config, physics)
+        assert model.scale_bias == -2.6 and model.opacity_bias == 1.5
+        args = build_parser().parse_args(
+            ["--surface_init", "--scale_bias", "-1.0"])
+        config, *_ = configs_from_args(args)
+        assert config.scale_bias == -1.0 and config.opacity_bias == 1.5
