@@ -73,6 +73,10 @@ class Sample:
     features: np.ndarray       # (37, 37, C)
     depth: np.ndarray          # (256, 256)
     vlm_density: Optional[np.ndarray] = None
+    # Distillation teacher (train/fit_teacher.py sidecar): raw decoder-head
+    # targets (g, g, K, 16) + the fitted depth_offset scalar.
+    teacher_raw: Optional[np.ndarray] = None
+    teacher_do: Optional[np.ndarray] = None
 
 
 class ImageDataset:
@@ -97,6 +101,7 @@ class ImageDataset:
             paths = paths[:max_images]
         if not paths:
             raise FileNotFoundError(f"no images in {data_dir}")
+        self.paths = paths
         for p in paths:
             self._samples.append(self._load_sample(p))
 
@@ -133,8 +138,14 @@ class ImageDataset:
                 depth.astype(np.float32).tofile(depth_path)
 
         vlm = np.load(vlm_path) if vlm_path.exists() else None
+        t_raw = t_do = None
+        t_path = path.with_name(path.stem + "_teacher.npz")
+        if t_path.exists():
+            with np.load(t_path) as t:
+                t_raw = t["raw"].astype(np.float32)
+                t_do = t["depth_offset"].astype(np.float32)
         return Sample(name=name, image=img, features=feats, depth=depth,
-                      vlm_density=vlm)
+                      vlm_density=vlm, teacher_raw=t_raw, teacher_do=t_do)
 
     def __len__(self) -> int:
         return len(self._samples)
@@ -164,6 +175,12 @@ class ImageDataset:
             }
             if len(vlms) == len(idx):
                 batch["vlm_density"] = np.stack(vlms)[:, None]  # (B, 1, gh, gw)
+            teachers = [self._samples[j] for j in idx]
+            if all(s.teacher_raw is not None for s in teachers):
+                batch["teacher_raw"] = np.stack(
+                    [s.teacher_raw for s in teachers])
+                batch["teacher_do"] = np.stack(
+                    [s.teacher_do for s in teachers])
             yield batch
 
 
@@ -208,9 +225,16 @@ class SyntheticGaussianDataset:
             rng.shuffle(order)
         for i in range(0, len(order) - batch_size + 1, batch_size):
             idx = order[i : i + batch_size]
-            yield {
+            batch = {
                 "image": np.stack(
                     [np.transpose(self._samples[j].image, (2, 0, 1)) for j in idx]),
                 "features": np.stack([self._samples[j].features for j in idx]),
                 "depth": np.stack([self._samples[j].depth for j in idx]),
             }
+            teachers = [self._samples[j] for j in idx]
+            if all(s.teacher_raw is not None for s in teachers):
+                batch["teacher_raw"] = np.stack(
+                    [s.teacher_raw for s in teachers])
+                batch["teacher_do"] = np.stack(
+                    [s.teacher_do for s in teachers])
+            yield batch

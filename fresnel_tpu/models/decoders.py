@@ -48,6 +48,101 @@ def _resize_depth_to_grid(depth: jax.Array, h: int, w: int) -> jax.Array:
                             antialias=False)
 
 
+def head_transform(
+    raw: jax.Array,                        # (B, H, W, K, 16|19)
+    depth: Optional[jax.Array],            # (B, Hd, Wd[, 1]) or None
+    depth_offset: jax.Array,               # scalar
+    *,
+    scale_bias: float = 0.0,
+    opacity_bias: float = 0.0,
+    use_fresnel_zones: bool = False,
+    num_fresnel_zones: int = 8,
+    use_edge_aware: bool = False,
+    edge_scale_factor: float = 0.5,
+    edge_opacity_boost: float = 0.2,
+    use_phase_output: bool = False,
+    elevation: Optional[jax.Array] = None,  # (B,)
+    azimuth: Optional[jax.Array] = None,    # (B,)
+) -> Dict[str, jax.Array]:
+    """Raw per-patch head outputs -> Gaussian parameter dict.
+
+    The reference's head semantics (gaussian_decoder_models.py:805-870):
+    base grid in [-1,1], XY offsets scaled 0.25, Z locked to depth
+    (base_z = depth_offset + depth * (-2)), scales = softplus(raw+1)*0.15
+    clamped, 6D->quat rotations, sigmoid colors/opacities, optional zone
+    quantization / edge-aware modulation.
+
+    Pure function shared by DirectPatchDecoder.__call__ and the
+    decoder-space teacher fitter (train/fit_teacher.py) so distillation
+    targets live in EXACTLY the space the decoder head emits.
+    """
+    B, H, W, K = raw.shape[:4]
+    raw_pos = raw[..., 0:3]
+    raw_scale = raw[..., 3:6]
+    rot_6d = raw[..., 6:12]
+    raw_color = raw[..., 12:15]
+    raw_opacity = raw[..., 15]
+    raw_phase = raw[..., 16:19] if use_phase_output else None
+
+    # Base grid in [-1, 1].
+    y_grid, x_grid = jnp.meshgrid(
+        jnp.linspace(-1.0, 1.0, H), jnp.linspace(-1.0, 1.0, W), indexing="ij")
+    base_x = jnp.broadcast_to(x_grid[None, :, :, None], (B, H, W, K))
+    base_y = jnp.broadcast_to(y_grid[None, :, :, None], (B, H, W, K))
+
+    edge_strength = None
+    if depth is not None:
+        depth_grid = _resize_depth_to_grid(depth, H, W)         # (B, H, W)
+        if use_edge_aware:
+            edge_strength = FresnelEdgeDetector()(depth_grid)   # (B,H,W,1)
+        if use_fresnel_zones:
+            zones = FresnelZones(num_zones=num_fresnel_zones)
+            depth_grid = zones.zone_centers_for_depth(depth_grid)
+        base_z = depth_offset + depth_grid[..., None] * (-2.0)
+        base_z = jnp.broadcast_to(base_z, (B, H, W, K))
+    else:
+        base_z = jnp.full((B, H, W, K), depth_offset)
+
+    positions = jnp.stack(
+        [base_x + raw_pos[..., 0] * 0.25,
+         base_y + raw_pos[..., 1] * 0.25,
+         base_z],  # Z locked to depth
+        axis=-1)
+
+    if elevation is not None and azimuth is not None:
+        positions = rotate_positions_for_pose(positions, elevation, azimuth)
+
+    scales = jax.nn.softplus(
+        jnp.clip(raw_scale, -10.0, 20.0) + 1.0 + scale_bias) * 0.15
+    scales = jnp.clip(scales, 1e-6, 2.0)
+    rotations = rotation_6d_to_quaternion(rot_6d)
+    colors = jax.nn.sigmoid(raw_color)
+    opacities = jax.nn.sigmoid(raw_opacity + opacity_bias)
+
+    if use_edge_aware and edge_strength is not None:
+        edge = edge_strength[..., 0][..., None]                 # (B, H, W, 1)
+        scales = scales * (1.0 - edge_scale_factor * edge[..., None])
+        opacities = jnp.clip(opacities + edge_opacity_boost * edge, 0.0, 1.0)
+
+    phases = None
+    if raw_phase is not None:
+        phases = jax.nn.sigmoid(raw_phase) * TWO_PI             # (B,H,W,K,3)
+
+    N = H * W * K
+    result = {
+        "positions": positions.reshape(B, N, 3),
+        "scales": scales.reshape(B, N, 3),
+        "rotations": rotations.reshape(B, N, 4),
+        "colors": colors.reshape(B, N, 3),
+        "opacities": opacities.reshape(B, N),
+    }
+    if phases is not None:
+        result["phases"] = phases.reshape(B, N, 3)
+    if edge_strength is not None:
+        result["edge_strength"] = edge_strength
+    return result
+
+
 class DirectPatchDecoder(nn.Module):
     feature_dim: int = 384
     gaussians_per_patch: int = 8
@@ -90,6 +185,7 @@ class DirectPatchDecoder(nn.Module):
         elevation: Optional[jax.Array] = None,  # (B,)
         azimuth: Optional[jax.Array] = None,    # (B,)
         deterministic: bool = True,
+        return_raw: bool = False,               # add "raw" (B,H,W,K,opg)
     ) -> Dict[str, jax.Array]:
         B, H, W, C = features.shape
         full_K = self.gaussians_per_patch
@@ -104,79 +200,29 @@ class DirectPatchDecoder(nn.Module):
             features.reshape(B * H * W, -1), deterministic=deterministic)
         out = out.reshape(B, H, W, full_K, opg)[:, :, :, :K, :]
 
-        raw_pos = out[..., 0:3]
-        raw_scale = out[..., 3:6]
-        rot_6d = out[..., 6:12]
-        raw_color = out[..., 12:15]
-        raw_opacity = out[..., 15]
-        raw_phase = out[..., 16:19] if self.use_phase_output else None
-
-        # Base grid in [-1, 1].
-        y_grid, x_grid = jnp.meshgrid(
-            jnp.linspace(-1.0, 1.0, H), jnp.linspace(-1.0, 1.0, W), indexing="ij")
-        base_x = jnp.broadcast_to(x_grid[None, :, :, None], (B, H, W, K))
-        base_y = jnp.broadcast_to(y_grid[None, :, :, None], (B, H, W, K))
-
         depth_offset = self.param(
             "depth_offset", lambda _: jnp.asarray(-2.0, jnp.float32))
 
-        edge_strength = None
-        if depth is not None:
-            depth_grid = _resize_depth_to_grid(depth, H, W)     # (B, H, W)
-            if self.use_edge_aware:
-                edge_strength = FresnelEdgeDetector()(depth_grid)  # (B,H,W,1)
-            if self.use_fresnel_zones:
-                zones = FresnelZones(num_zones=self.num_fresnel_zones)
-                depth_grid = zones.zone_centers_for_depth(depth_grid)
-            base_z = depth_offset + depth_grid[..., None] * (-2.0)
-            base_z = jnp.broadcast_to(base_z, (B, H, W, K))
-        else:
-            base_z = jnp.full((B, H, W, K), depth_offset)
-
-        positions = jnp.stack(
-            [base_x + raw_pos[..., 0] * 0.25,
-             base_y + raw_pos[..., 1] * 0.25,
-             base_z],  # Z locked to depth
-            axis=-1)
-
-        if elevation is not None and azimuth is not None:
-            positions = rotate_positions_for_pose(positions, elevation, azimuth)
-
-        scales = jax.nn.softplus(
-            jnp.clip(raw_scale, -10.0, 20.0) + 1.0 + self.scale_bias) * 0.15
-        scales = jnp.clip(scales, 1e-6, 2.0)
-        rotations = rotation_6d_to_quaternion(rot_6d)
-        colors = jax.nn.sigmoid(raw_color)
-        opacities = jax.nn.sigmoid(raw_opacity + self.opacity_bias)
-
-        if self.use_edge_aware and edge_strength is not None:
-            edge = edge_strength[..., 0][..., None]             # (B, H, W, 1)
-            scales = scales * (1.0 - self.edge_scale_factor * edge[..., None])
-            opacities = jnp.clip(opacities + self.edge_opacity_boost * edge, 0.0, 1.0)
+        result = head_transform(
+            out, depth, depth_offset,
+            scale_bias=self.scale_bias, opacity_bias=self.opacity_bias,
+            use_fresnel_zones=self.use_fresnel_zones,
+            num_fresnel_zones=self.num_fresnel_zones,
+            use_edge_aware=self.use_edge_aware,
+            edge_scale_factor=self.edge_scale_factor,
+            edge_opacity_boost=self.edge_opacity_boost,
+            use_phase_output=self.use_phase_output,
+            elevation=elevation, azimuth=azimuth)
 
         if self.use_pose_encoding and elevation is not None and azimuth is not None:
             pose_emb = PoseEncoder(self.pose_embed_dim)(elevation, azimuth)
             mod = nn.Dense(1)(nn.relu(nn.Dense(128)(pose_emb)))
             opacity_mod = 0.5 + jax.nn.sigmoid(mod)             # (B, 1) in [0.5, 1.5]
-            opacities = jnp.clip(
-                opacities * opacity_mod[:, :, None, None], 0.0, 1.0)
+            result["opacities"] = jnp.clip(
+                result["opacities"] * opacity_mod, 0.0, 1.0)
 
-        phases = None
-        if raw_phase is not None:
-            phases = jax.nn.sigmoid(raw_phase) * TWO_PI          # (B,H,W,K,3)
-
-        N = H * W * K
-        result = {
-            "positions": positions.reshape(B, N, 3),
-            "scales": scales.reshape(B, N, 3),
-            "rotations": rotations.reshape(B, N, 4),
-            "colors": colors.reshape(B, N, 3),
-            "opacities": opacities.reshape(B, N),
-        }
-        if phases is not None:
-            result["phases"] = phases.reshape(B, N, 3)
-        if edge_strength is not None:
-            result["edge_strength"] = edge_strength
+        if return_raw:
+            result["raw"] = out
         return result
 
 

@@ -36,9 +36,10 @@ def get_mesh(num_devices: Optional[int] = None,
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a batch dict with its leading dim sharded over `axis`."""
+    """Place a batch dict with its leading dim sharded over `axis`.
+    Scalars (e.g. the distill_scale knob) are replicated."""
     def put(x):
-        spec = P(axis, *([None] * (x.ndim - 1)))
+        spec = P(axis, *([None] * (x.ndim - 1))) if x.ndim else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree.map(put, batch)
 

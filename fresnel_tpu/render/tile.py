@@ -58,10 +58,15 @@ class TileRendererConfig:
     binning: str = "auto"        # "auto" (search beyond ~96k Gaussians) |
                                  # "pairs" (window-pair scatter) | "search"
                                  # (rank-table two-level binary search) |
+                                 # "rows" (two-stage row-segment: per-tile-
+                                 # row lists then per-tile — ~50x less
+                                 # table traffic than search at 1M) |
                                  # "chunked" (table-free: MXU chunk totals +
                                  # on-demand in-chunk ranks; opt-in — its
                                  # (T, M, 256) level-2 gather measured 4-6x
                                  # SLOWER than search on real v5e, T-022)
+    row_capacity: int = 0        # "rows" stage-1 per-row list size
+                                 # (0 = auto: 2 * n_tiles_x * max_per_tile)
     table_build: str = "auto"    # search-binning rank-table backend:
                                  # "auto" (= xla; the fused Pallas kernel
                                  # measured a wash, T-018) | "pallas" |
@@ -287,6 +292,91 @@ def _bin_gaussians_search(means2d, radii, visible, n_tiles_x, n_tiles_y,
     ti = ti.reshape(groups * nty_g * n_tiles_x, M)[:T]
     tv = tv.reshape(groups * nty_g * n_tiles_x, M)[:T]
     return ti, tv
+
+
+def _bin_gaussians_rows(means2d, radii, visible, n_tiles_x, n_tiles_y,
+                        tile_size, max_per_tile, row_capacity: int = 0):
+    """Two-stage row-segment compaction: per-tile-ROW lists, then per-tile.
+
+    The search binning's cost is the (N, T) rank table — 2 GB of bf16 at
+    1M x 1024 tiles, ~8 GB of HBM traffic (92 of the 146 ms 1M forward,
+    experiments/profile_stages_1m.py).  But the hit matrix is separable:
+    compacting Gaussians per tile ROW first (T = n_tiles_y = 32 instead of
+    1024 — a 32x smaller stage-1 table), then binning each row's compact
+    list over the n_tiles_x tiles (stage-2 tables: rows x row_capacity x
+    ntx, ~32 MB), does the same job with ~50x less table traffic.
+
+    Stage 1 reuses the rank-table machinery with a single x-"tile";
+    stage 2 batches it per row via vmap.  Both searches preserve index
+    order, and inputs arrive depth-sorted, so per-tile lists stay in depth
+    order — bit-identical to _bin_gaussians_search whenever no row
+    overflows `row_capacity` (rows that do drop their deepest entries
+    first, the same depth-priority rule as the per-tile cap).
+    """
+    ts = float(tile_size)
+    n = means2d.shape[0]
+    M = max_per_tile
+
+    u = means2d[:, 0]
+    v = means2d[:, 1]
+    r = radii
+    cxlo = jnp.floor((u - r) / ts).astype(jnp.int32)
+    cxhi = jnp.floor((u + r) / ts).astype(jnp.int32)
+    cylo = jnp.floor((v - r) / ts).astype(jnp.int32)
+    cyhi = jnp.floor((v + r) / ts).astype(jnp.int32)
+
+    c = 256
+    n2 = -(-n // c) * c
+    pad = n2 - n
+    if pad:
+        cxlo = jnp.pad(cxlo, (0, pad))
+        cxhi = jnp.pad(cxhi, (0, pad), constant_values=-1)
+        cylo = jnp.pad(cylo, (0, pad))
+        cyhi = jnp.pad(cyhi, (0, pad), constant_values=-1)
+        visible = jnp.pad(visible, (0, pad))
+
+    # Auto capacity: cover 4x the mean row occupancy (each Gaussian hits
+    # ~1-3 rows), floored at 2 * ntx * M so small-N grids stay exact.
+    Mr = (row_capacity if row_capacity > 0
+          else max(2 * n_tiles_x * M, (4 * n2) // max(1, n_tiles_y)))
+    Mr = min(Mr, n2)
+    Mr = -(-Mr // c) * c                       # chunkable in stage 2
+
+    # Stage 1: compact per tile row (one x-"tile" spanning everything).
+    ay = jnp.arange(n_tiles_y, dtype=jnp.int32)
+    hy = ((ay[None, :] >= cylo[:, None]) & (ay[None, :] <= cyhi[:, None])
+          & visible[:, None])                                # (N2, nty)
+    hx1 = jnp.ones((n2, 1), bool)
+    row_idx, row_valid = _search_from_masks(
+        hx1, hy, n2, 1, n_tiles_y, Mr)                       # (nty, Mr)
+
+    # Stage 2: bin each row's list over the x tiles.  Invalid slots get an
+    # empty interval and can never be hit.
+    xlo_r = jnp.where(row_valid, cxlo[row_idx], 0)           # (nty, Mr)
+    xhi_r = jnp.where(row_valid, cxhi[row_idx], -1)
+    ax = jnp.arange(n_tiles_x, dtype=jnp.int32)
+    hx2 = ((ax[None, None, :] >= xlo_r[..., None])
+           & (ax[None, None, :] <= xhi_r[..., None]))        # (nty, Mr, ntx)
+
+    nch2 = Mr // c
+    hb = hx2.reshape(n_tiles_y, nch2, c, n_tiles_x).astype(jnp.bfloat16)
+    L = jnp.tril(jnp.ones((c, c), jnp.bfloat16))
+    C_in = jnp.einsum("ij,rnjt->rnit", L, hb,
+                      preferred_element_type=jnp.bfloat16)   # (nty,nch2,c,ntx)
+    totals = C_in[:, :, -1, :].astype(jnp.int32)             # (nty, nch2, ntx)
+    cumtot_t = jnp.moveaxis(jnp.cumsum(totals, axis=1), 1, 2)  # (nty,ntx,nch2)
+    Cin_t = jnp.moveaxis(
+        C_in.reshape(n_tiles_y, Mr, n_tiles_x), 1, 2)        # (nty, ntx, Mr)
+
+    in_row, tv = jax.vmap(_two_level_search, in_axes=(0, 0, None))(
+        Cin_t, cumtot_t, M)                                  # (nty, ntx, M) x2
+
+    gi = jnp.take_along_axis(
+        row_idx, in_row.reshape(n_tiles_y, n_tiles_x * M),
+        axis=1).reshape(n_tiles_y, n_tiles_x, M)
+    T = n_tiles_x * n_tiles_y
+    tile_indices = jnp.where(tv, gi, 0).reshape(T, M)
+    return tile_indices, tv.reshape(T, M)
 
 
 def _bin_gaussians_chunked(means2d, radii, visible, n_tiles_x, n_tiles_y,
@@ -674,6 +764,10 @@ def render_tiled(
     if binning == "chunked":
         tile_idx, tile_valid = _bin_gaussians_chunked(
             means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap)
+    elif binning == "rows":
+        tile_idx, tile_valid = _bin_gaussians_rows(
+            means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
+            row_capacity=cfg.row_capacity)
     elif binning == "search":
         # Bound the bf16 rank-table slab to ~2 GB (2^30 bf16 elements) by
         # scanning tile-row groups: keeps 5M Gaussians (the reference's

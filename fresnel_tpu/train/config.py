@@ -96,6 +96,15 @@ class TrainingConfig:
     # gradients can lock that blur in.  Raise for training parity with the
     # reference (cost: composite time scales linearly with the cap).
     max_per_tile: int = 256
+    # Distillation from per-scene decoder-space fits (train/fit_teacher.py
+    # sidecars; the TPU analogue of the reference's v2 distillation,
+    # scripts/training/train_direct_decoder.py).  When > 0 and the dataset
+    # provides `{scene}_teacher.npz`, adds raw-head regression + a
+    # depth_offset term on top of the render loss.  Experiment 2 only.
+    distill_weight: float = 0.0
+    # Linearly decay the distill term to 0 over this many epochs so render
+    # loss takes over (0 = constant weight).
+    distill_decay_epochs: int = 0
     # Decoder head-init biases (0.0 = exact reference head behavior).
     # --surface_init sets (-2.6, 1.5): outputs START at surface-like params
     # (sigma ~= patch pitch, opacity ~0.8) — the basin the T-023 direct fit

@@ -1,0 +1,224 @@
+"""Decoder-space per-scene Gaussian fitting — distillation teacher generator.
+
+T-023 showed a free per-scene fit at the exp-2 budget reaches SSIM 0.987
+while render-loss decoder training plateaus at ~0.70: the gap is decoder
+OPTIMIZATION, not representation.  The reference closed analogous gaps with
+its v2 distillation trainer (reference: scripts/training/
+train_direct_decoder.py — regress decoder outputs onto per-scene-optimized
+targets).  This module produces such targets for the DirectPatchDecoder
+family, with one crucial difference from the T-023 free fit: the teacher is
+optimized IN THE DECODER'S OWN OUTPUT SPACE — raw head values
+(B, 37, 37, K, 16) pushed through the exact `head_transform` the decoder
+uses (Z locked to depth, shared per-patch z, edge-aware modulation, the
+same activation chain).  Every teacher is therefore expressible by the
+decoder BY CONSTRUCTION, and the distillation loss is plain regression on
+raw head outputs — no Chamfer matching, no activation inverses, no
+unreachable targets.
+
+Teachers are saved as `{scene}_teacher.npz` next to each image, the same
+sidecar-cache contract as the depth/feature caches (data/dataset.py).
+
+Run:
+  python -m fresnel_tpu.train.fit_teacher --data_dir data/corpus_v1
+  python -m fresnel_tpu.train.fit_teacher --data_dir data/corpus_v1 \
+      --scenes 3 --no_save        # ceiling probe only
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+OPG = 16                     # outputs per Gaussian (no phase head)
+IDENTITY_6D = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
+
+
+def teacher_path(img_path: Path) -> Path:
+    return img_path.with_name(img_path.stem + "_teacher.npz")
+
+
+def init_raw(image: np.ndarray, depth: np.ndarray, camera, *,
+             grid: int = 37, K: int = 4,
+             head_kwargs: Optional[dict] = None) -> np.ndarray:
+    """Surface init in raw head space: K Gaussians per patch spread on a
+    sub-grid, sigma ~= sub-grid pitch, opacity ~0.8, colors sampled from the
+    image at each Gaussian's actual projected pixel (convention-proof: uses
+    the camera's own projection on head_transform's positions)."""
+    import jax.numpy as jnp
+
+    from fresnel_tpu.models.decoders import head_transform
+
+    raw = np.zeros((1, grid, grid, K, OPG), np.float32)
+    # 2x2 sub-grid XY offsets within each patch.  Patch pitch in the base
+    # grid is 2/(grid-1); raw offsets are scaled by 0.25.
+    pitch = 2.0 / (grid - 1)
+    side = int(np.ceil(np.sqrt(K)))
+    offs = (np.arange(side) - (side - 1) / 2.0) * (pitch / side)
+    oy, ox = np.meshgrid(offs, offs, indexing="ij")
+    sub = np.stack([ox.ravel(), oy.ravel()], -1)[:K]            # (K, 2)
+    raw[..., 0] = sub[:, 0] / 0.25
+    raw[..., 1] = sub[:, 1] / 0.25
+    # sigma = softplus(raw_scale + 1) * 0.15  ->  raw for sigma = pitch/side.
+    target_sigma = pitch / side
+    raw[..., 3:6] = np.log(np.expm1(target_sigma / 0.15)) - 1.0
+    raw[..., 6:12] = IDENTITY_6D
+    raw[..., 15] = 1.5                                          # op ~0.82
+
+    # Colors: project the init positions, sample the image there.
+    out = head_transform(jnp.asarray(raw), jnp.asarray(depth)[None],
+                         jnp.asarray(-2.0), **(head_kwargs or {}))
+    uv, _ = camera.project(out["positions"][0])
+    uv = np.asarray(uv)
+    u = np.clip(uv[:, 0].round().astype(int), 0, image.shape[2] - 1)
+    v = np.clip(uv[:, 1].round().astype(int), 0, image.shape[1] - 1)
+    col = image[:, v, u].T                                      # (N, 3)
+    logit = np.log(np.clip(col, 1e-3, 1 - 1e-3)
+                   / np.clip(1 - col, 1e-3, 1.0))
+    raw[..., 12:15] = logit.reshape(grid, grid, K, 3)
+    return raw
+
+
+def fit_scene(image: np.ndarray, depth: np.ndarray, *,
+              steps: int = 800, lr: float = 1e-2, grid: int = 37, K: int = 4,
+              res: int = 256, fixed_depth_offset: Optional[float] = None,
+              head_kwargs: Optional[dict] = None,
+              max_per_tile: int = 1024,
+              step_fn_cache: Optional[dict] = None,
+              ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
+    """Fit raw head values (+ depth_offset unless fixed) to one scene by
+    Adam through head_transform + the tiled rasterizer.
+
+    Returns (teacher dict for npz, metrics dict).  Pass a shared
+    `step_fn_cache` dict across scenes to reuse the compiled step.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fresnel_tpu.core.camera import Camera
+    from fresnel_tpu.losses.ssim import ssim
+    from fresnel_tpu.models.decoders import head_transform
+    from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
+
+    hk = dict(head_kwargs or {})
+    camera = Camera.default_training(res)
+    cfg = TileRendererConfig(max_per_tile=max_per_tile)
+    target = jnp.asarray(image)
+    depth_j = jnp.asarray(depth)[None]
+
+    params = {"raw": jnp.asarray(
+        init_raw(image, depth, camera, grid=grid, K=K, head_kwargs=hk))}
+    if fixed_depth_offset is None:
+        params["do"] = jnp.asarray(-2.0, jnp.float32)
+
+    cache_key = (steps, lr, grid, K, res, fixed_depth_offset is None,
+                 tuple(sorted(hk.items())), max_per_tile)
+
+    if step_fn_cache is None or cache_key not in step_fn_cache:
+        opt = optax.adam(lr)
+
+        def render(p, d):
+            fixed = -2.0 if fixed_depth_offset is None else fixed_depth_offset
+            do = p.get("do", jnp.asarray(float(fixed)))
+            out = head_transform(p["raw"], d, do, **hk)
+            return render_tiled(out["positions"][0], out["scales"][0],
+                                out["rotations"][0], out["colors"][0],
+                                out["opacities"][0], camera, config=cfg)
+
+        def loss_fn(p, d, t):
+            img = render(p, d)
+            return (jnp.mean(jnp.abs(img - t))
+                    + 0.5 * (1.0 - ssim(img[None], t[None])))
+
+        @jax.jit
+        def step(p, o, d, t):
+            l, g = jax.value_and_grad(loss_fn)(p, d, t)
+            up, o = opt.update(g, o, p)
+            return optax.apply_updates(p, up), o, l
+
+        entry = {"step": step, "render": jax.jit(render), "opt": opt}
+        if step_fn_cache is None:
+            step_fn_cache = {}
+        step_fn_cache[cache_key] = entry
+    entry = step_fn_cache[cache_key]
+
+    o = entry["opt"].init(params)
+    for _ in range(steps):
+        params, o, l = entry["step"](params, o, depth_j, target)
+    l.block_until_ready()
+
+    img = entry["render"](params, depth_j)
+    sv = float(ssim(img[None], target[None]))
+    mse = float(jnp.mean((img - target) ** 2))
+    teacher = {
+        "raw": np.asarray(params["raw"][0], np.float32),        # (g, g, K, 16)
+        "depth_offset": np.float32(
+            params["do"] if "do" in params else fixed_depth_offset),
+        "ssim": np.float32(sv),
+        "psnr": np.float32(-10 * np.log10(max(mse, 1e-10))),
+    }
+    return teacher, {"ssim": sv, "psnr": float(teacher["psnr"])}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--data_dir", default="data/corpus_v1")
+    ap.add_argument("--scenes", type=int, default=None,
+                    help="Limit scene count (default: all)")
+    ap.add_argument("--steps", type=int, default=800)
+    ap.add_argument("--lr", type=float, default=1e-2)
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--grid", type=int, default=37)
+    ap.add_argument("--K", type=int, default=4)
+    ap.add_argument("--fixed_do", type=float, default=None,
+                    help="Freeze depth_offset at this value (default: fit "
+                         "a free per-scene scalar and report the spread)")
+    ap.add_argument("--no_save", action="store_true")
+    ap.add_argument("--overwrite", action="store_true")
+    args = ap.parse_args()
+
+    from fresnel_tpu.utils.compile_cache import enable_compilation_cache
+    enable_compilation_cache()
+    from fresnel_tpu.data.dataset import ImageDataset
+
+    # NOTE: no edge-aware modulation in the teacher fit — the decoder's
+    # FresnelEdgeDetector is a LEARNED conv net, so its modulation cannot be
+    # anticipated per scene; and the distillation loss compares raw
+    # PRE-modulation head outputs, where it cancels anyway.
+    hk: dict = {}
+    ds = ImageDataset(args.data_dir, image_size=args.res,
+                      use_augmentation=False, max_images=args.scenes)
+    cache: dict = {}
+    ssims, psnrs, dos = [], [], []
+    for i, (path, s) in enumerate(zip(ds.paths, ds._samples)):
+        tpath = teacher_path(path)
+        if tpath.exists() and not args.overwrite and not args.no_save:
+            print(f"[{i + 1}/{len(ds.paths)}] {path.name}: teacher exists")
+            continue
+        t0 = time.perf_counter()
+        teacher, m = fit_scene(
+            np.transpose(s.image, (2, 0, 1)), s.depth,
+            steps=args.steps, lr=args.lr, grid=args.grid,
+            K=args.K, res=args.res, fixed_depth_offset=args.fixed_do,
+            head_kwargs=hk, step_fn_cache=cache)
+        dos.append(float(teacher["depth_offset"]))
+        ssims.append(m["ssim"])
+        psnrs.append(m["psnr"])
+        if not args.no_save:
+            np.savez(tpath, **teacher)
+        print(f"[{i + 1}/{len(ds.paths)}] {path.name}: "
+              f"SSIM {m['ssim']:.4f} PSNR {m['psnr']:.2f} dB "
+              f"do={teacher['depth_offset']:.3f} "
+              f"({time.perf_counter() - t0:.1f}s)")
+    if ssims:
+        print(f"fitted {len(ssims)} scenes: SSIM {np.mean(ssims):.4f} "
+              f"(min {np.min(ssims):.4f})  PSNR {np.mean(psnrs):.2f} dB  "
+              f"depth_offset mean {np.mean(dos):.3f} sd {np.std(dos):.3f}")
+
+
+if __name__ == "__main__":
+    main()

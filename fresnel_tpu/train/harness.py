@@ -242,6 +242,12 @@ class Trainer:
         lpips_fn, lpips_params = (self.lpips if self.lpips is not None
                                   else (None, None))
 
+        # Raw-head distillation (fit_teacher.py sidecars): DirectPatch
+        # decoders only — the physics variant's head differs.
+        distill_on = (cfg.distill_weight > 0 and cfg.experiment == 2
+                      and not (pcfg is not None and pcfg.use_wave_rendering
+                               and not cfg.use_phase_output))
+
         def render_one(p, s, r, c, o, ph, cam):
             return renderer(p, s, r, c, o, cam, phases=ph, return_depth=True)
 
@@ -300,6 +306,8 @@ class Trainer:
                     kwargs.update(elevation=el, azimuth=az)
                 if cfg.experiment == 5:
                     rngs["nca"] = jax.random.fold_in(rng_drop, 1)
+                if distill_on:
+                    kwargs["return_raw"] = True
                 out = apply_amp(params["model"], feats, depth,
                                 deterministic=False, rngs=rngs, **kwargs)
 
@@ -347,6 +355,31 @@ class Trainer:
                 physics_config=pcfg, hfgs_config=hcfg,
                 learnable_wavelengths_raw=wl_raw,
                 fresnel_zones=zones)
+
+            if distill_on and "teacher_raw" in batch:
+                # Teacher raws were fit with zero head biases; shift the
+                # targets so biased heads still match in raw space.
+                t_raw = batch["teacher_raw"][:, :, :, :K, :]    # (B,H,W,K,16)
+                adj = (jnp.zeros((16,), jnp.float32)
+                       .at[3:6].add(-cfg.scale_bias)
+                       .at[15].add(-cfg.opacity_bias))
+                diff = out["raw"] - (t_raw + adj)
+                # Grouped weights balance the raw channel magnitudes:
+                # xy offsets (world/0.25), log-ish scales, 6D rot, color
+                # logits (up to +-6.9 saturated), opacity logit.
+                gw = jnp.asarray([1.0] * 3 + [0.5] * 3 + [0.3] * 6
+                                 + [0.25] * 3 + [0.5], jnp.float32)
+                huber = jnp.where(jnp.abs(diff) < 1.0,
+                                  0.5 * diff * diff,
+                                  jnp.abs(diff) - 0.5)
+                d_raw = jnp.mean(huber * gw)
+                do_model = params["model"]["params"]["depth_offset"]
+                d_do = jnp.mean((do_model - batch["teacher_do"]) ** 2)
+                d_total = d_raw + d_do
+                scale = batch.get("distill_scale", jnp.float32(1.0))
+                ld["distill"] = d_total
+                total = total + cfg.distill_weight * scale * d_total
+                ld["total"] = total
 
             if cfg.use_tensegrity_loss:
                 # Bound the O(N^2) kNN to a fixed 512-point subsample.
@@ -407,6 +440,11 @@ class Trainer:
         self._make_optimizer(epochs * steps_per_epoch)
 
         first = next(iter(dataset.batches(cfg.batch_size, nprng)))
+        if cfg.distill_weight > 0 and "teacher_raw" not in first:
+            raise ValueError(
+                "distill_weight > 0 but the dataset has no teacher "
+                "sidecars — generate them first: python -m "
+                "fresnel_tpu.train.fit_teacher --data_dir <data_dir>")
         # SAAG prior point count follows the ACTUAL depth-cache side, not a
         # hardcoded 256 (a differently sized cache would silently mis-size
         # stochastic-K for experiments 1/3).
@@ -433,6 +471,10 @@ class Trainer:
             epoch_losses: Dict[str, list] = {}
             for batch in dataset.batches(cfg.batch_size, nprng):
                 jb = jax.tree.map(jnp.asarray, batch)
+                if cfg.distill_weight > 0:
+                    dec = cfg.distill_decay_epochs
+                    jb["distill_scale"] = jnp.float32(
+                        1.0 if dec <= 0 else max(0.0, 1.0 - epoch / dec))
                 if mesh is not None:
                     from fresnel_tpu.parallel.mesh import shard_batch
                     jb = shard_batch(jb, mesh)

@@ -120,6 +120,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "rasterizer (the reference's loop is uncapped; "
                         "raise when decoders are in the early large-"
                         "scale regime so occluded splats keep gradients)")
+    p.add_argument("--no_augmentation", action="store_true",
+                   help="Disable color-jitter augmentation (recommended "
+                        "with --distill_weight: teacher color targets are "
+                        "fit to the un-jittered images)")
+    p.add_argument("--distill_weight", type=float, default=0.0,
+                   help="Weight on raw-head regression against per-scene "
+                        "fit_teacher.py sidecars (TPU analogue of the "
+                        "reference's v2 distillation); experiment 2 only")
+    p.add_argument("--distill_decay_epochs", type=int, default=0,
+                   help="Linearly decay the distill term to 0 over this "
+                        "many epochs (0 = constant)")
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="Path to LPIPS weights (.npz or torch ckpt); absent "
                         "-> LPIPS term disabled like the reference's "
@@ -178,6 +189,7 @@ def configs_from_args(args):
         edge_opacity_boost=args.edge_opacity_boost,
         phase_amplitude=args.phase_amplitude,
         multi_pose_augmentation=args.multi_pose_augmentation,
+        use_augmentation=not args.no_augmentation,
         pose_range_elevation=tuple(args.pose_range_elevation),
         pose_range_azimuth=tuple(args.pose_range_azimuth),
         frontal_prob=args.frontal_prob,
@@ -188,6 +200,8 @@ def configs_from_args(args):
         max_per_tile=args.max_per_tile,
         scale_bias=args.scale_bias,
         opacity_bias=args.opacity_bias,
+        distill_weight=args.distill_weight,
+        distill_decay_epochs=args.distill_decay_epochs,
     )
     physics = PhysicsConfig(
         use_wave_rendering=args.use_wave_rendering,

@@ -305,6 +305,45 @@ class TestSearchBinning:
             np.asarray(jnp.where(tv1, ti1, -1)),
             np.asarray(jnp.where(tv2, ti2, -1)))
 
+    @pytest.mark.parametrize("n", [900, 5000])
+    def test_rows_tables_identical(self, n):
+        # Two-stage row-segment binning must match the rank-table search
+        # bit-for-bit whenever no tile row overflows row_capacity.
+        from fresnel_tpu.render.tile import (
+            _bin_gaussians_rows, _bin_gaussians_search)
+
+        cam = Camera.default_training(128)
+        cloud = GaussianCloud.test_cloud(n, seed=n + 3, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+        m2, rad, vis = self._sorted_projection(cloud, cam)
+        ti1, tv1 = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, 64)
+        ti2, tv2 = _bin_gaussians_rows(m2, rad, vis, 8, 8, 16, 64,
+                                       row_capacity=8192)
+        np.testing.assert_array_equal(np.asarray(tv1), np.asarray(tv2))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(tv1, ti1, -1)),
+            np.asarray(jnp.where(tv2, ti2, -1)))
+
+    def test_rows_nonsquare_grid(self):
+        # 8x6 tile grid + a small row capacity still matches search when
+        # rows fit; exercises the nty != ntx reshapes.
+        from fresnel_tpu.render.tile import (
+            _bin_gaussians_rows, _bin_gaussians_search)
+
+        view = jnp.eye(4, dtype=jnp.float32).at[2, 3].set(-2.0)
+        cam = Camera.create(fx=102.4, fy=102.4, cx=64.0, cy=48.0,
+                            width=128, height=96, view=view)
+        cloud = GaussianCloud.test_cloud(3000, seed=12, spread=0.6,
+                                         z_offset=-2.0, scale=0.05)
+        m2, rad, vis = self._sorted_projection(cloud, cam)
+        ti1, tv1 = _bin_gaussians_search(m2, rad, vis, 8, 6, 16, 64)
+        ti2, tv2 = _bin_gaussians_rows(m2, rad, vis, 8, 6, 16, 64,
+                                       row_capacity=4096)
+        np.testing.assert_array_equal(np.asarray(tv1), np.asarray(tv2))
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(tv1, ti1, -1)),
+            np.asarray(jnp.where(tv2, ti2, -1)))
+
     def test_grouped_scan_nondivisible_rows(self):
         # 6 tile rows with 4 groups forces row padding (nty2=8, nty_g=2).
         from fresnel_tpu.render.tile import _bin_gaussians_search

@@ -211,3 +211,90 @@ class TestCLI:
             ["--surface_init", "--scale_bias", "-1.0"])
         config, *_ = configs_from_args(args)
         assert config.scale_bias == -1.0 and config.opacity_bias == 1.5
+
+
+class TestDistillation:
+    """Raw-head distillation from fit_teacher.py sidecars (the TPU analogue
+    of the reference's v2 distillation trainer, reference:
+    scripts/training/train_direct_decoder.py)."""
+
+    def _teacher_dataset(self, ds):
+        # Attach synthetic teacher sidecars matching each sample's grid.
+        g = ds._samples[0].features.shape[0]
+        rng = np.random.default_rng(0)
+        for s in ds._samples:
+            s.teacher_raw = rng.standard_normal(
+                (g, g, 1, 16)).astype(np.float32) * 0.1
+            s.teacher_do = np.float32(0.0)
+        return ds
+
+    def test_batches_carry_teachers(self, tiny_dataset):
+        ds = self._teacher_dataset(tiny_dataset)
+        b = next(iter(ds.batches(2, np.random.default_rng(0))))
+        assert b["teacher_raw"].shape[0] == 2
+        assert b["teacher_raw"].shape[-1] == 16
+        assert b["teacher_do"].shape == (2,)
+
+    def test_distill_step_reduces_raw_gap(self, tiny_dataset, tmp_path):
+        # With a huge distill weight, a few steps must move the decoder's
+        # raw outputs toward the teacher and log a finite "distill" term.
+        ds = self._teacher_dataset(tiny_dataset)
+        cfg = tiny_config(tmp_path, epochs=1, distill_weight=50.0,
+                          lr=1e-3)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        nprng = np.random.default_rng(0)
+        first = next(iter(ds.batches(2, nprng)))
+        state = trainer.init_state(first)
+        step = trainer.get_step(1, None)
+        jb = {k: jnp.asarray(v) for k, v in first.items()}
+        jb["distill_scale"] = jnp.float32(1.0)
+        key = jax.random.PRNGKey(0)
+        _, ld0 = step(state, jb, key)
+        d0 = float(ld0["distill"])
+        state = trainer.init_state(first)
+        for i in range(8):
+            state, ld = step(state, jb, jax.random.fold_in(key, i))
+        assert np.isfinite(d0)
+        assert float(ld["distill"]) < d0
+
+    def test_distill_requires_teachers(self, tiny_dataset, tmp_path):
+        cfg = tiny_config(tmp_path, distill_weight=1.0)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        ds = SyntheticGaussianDataset(
+            n_samples=4, image_size=32, n_gaussians=40, seed=2)
+        with pytest.raises(ValueError, match="teacher"):
+            trainer.fit(ds)
+
+    def test_decoder_return_raw_matches_head_transform(self):
+        # The decoder's outputs must equal head_transform applied to its
+        # own raw values — the contract the distillation loss relies on.
+        from fresnel_tpu.models.decoders import (
+            DirectPatchDecoder, head_transform)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((1, 5, 5, 8)), jnp.float32)
+        depth = jnp.asarray(rng.random((1, 16, 16)), jnp.float32)
+        m = DirectPatchDecoder(feature_dim=8, gaussians_per_patch=2,
+                               hidden_dims=(16,), dropout=0.0)
+        p = m.init(jax.random.PRNGKey(0), feats, depth)
+        out = m.apply(p, feats, depth, return_raw=True)
+        do = p["params"]["depth_offset"]
+        ref = head_transform(out["raw"], depth, do)
+        for k in ("positions", "scales", "rotations", "colors", "opacities"):
+            np.testing.assert_allclose(out[k], ref[k], atol=1e-6)
+
+    def test_fit_teacher_smoke(self):
+        # Tiny decoder-space fit: runs, improves loss, returns the sidecar
+        # contract (raw grid + fixed depth_offset + metrics).
+        from fresnel_tpu.train.fit_teacher import fit_scene
+        rng = np.random.default_rng(0)
+        img = rng.random((3, 32, 32)).astype(np.float32)
+        depth = rng.random((32, 32)).astype(np.float32)
+        teacher, m = fit_scene(img, depth, steps=3, grid=4, K=2, res=32,
+                               fixed_depth_offset=0.0)
+        assert teacher["raw"].shape == (4, 4, 2, 16)
+        assert teacher["depth_offset"] == 0.0
+        assert np.isfinite(m["ssim"]) and np.isfinite(m["psnr"])
