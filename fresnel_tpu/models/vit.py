@@ -49,10 +49,15 @@ VIT_CONFIGS = {
     "large": dict(width=1024, depth=24, heads=16),
 }
 
-# Depth-Anything-V2-Small defaults (HF DepthAnythingConfig): taps after
-# transformer layers 9..12 (1-based, = hidden_states indices with the
-# embedding output at index 0), reassemble channels, fusion width, head width.
-DA_OUT_INDICES = (9, 10, 11, 12)
+# Depth-Anything-V2-Small backbone taps: the official DA repo uses
+# intermediate layers [2, 5, 8, 11] (0-based) for vits — i.e. HF
+# hidden-states indices (3, 6, 9, 12) (1-based, embedding output at 0), the
+# values in the `Depth-Anything-V2-Small-hf` checkpoint's
+# backbone_config.out_indices.  NOTE: this differs from the bare HF
+# `DepthAnythingConfig()` DEFAULT of (9, 10, 11, 12) (last-4 layers) — the
+# checkpoint config always wins; `load_depth_anything` reads out_indices
+# from a sibling config.json when one exists (ADVICE r2 high).
+DA_OUT_INDICES = (3, 6, 9, 12)
 DA_NECK_CHANNELS = (48, 96, 192, 384)
 DA_FUSION = 64
 DA_HEAD_HIDDEN = 32
@@ -648,6 +653,28 @@ def load_dinov2(size: str = "small", weights_path: Optional[str] = None,
     return jax.jit(lambda img: model.apply(params, img)), params
 
 
+def _checkpoint_out_indices(weights_path: str) -> Optional[Tuple[int, ...]]:
+    """Read backbone out_indices from a config.json next to the weights.
+
+    HF checkpoints ship a config.json whose backbone_config.out_indices is
+    authoritative (V2-small: [3, 6, 9, 12]); the bare DepthAnythingConfig
+    default (9, 10, 11, 12) differs, so the sidecar wins when present."""
+    import json
+    import os
+
+    cfg_path = os.path.join(os.path.dirname(weights_path) or ".",
+                            "config.json")
+    if not os.path.exists(cfg_path):
+        return None
+    try:
+        with open(cfg_path) as f:
+            cfg = json.load(f)
+        idx = cfg.get("backbone_config", {}).get("out_indices")
+        return tuple(int(i) for i in idx) if idx else None
+    except (ValueError, OSError, AttributeError):
+        return None
+
+
 def load_depth_anything(size: str = "small",
                         weights_path: Optional[str] = None,
                         out_size: int = 256):
@@ -661,7 +688,8 @@ def load_depth_anything(size: str = "small",
     if weights_path is None or not os.path.exists(weights_path):
         return None
     cfg = VIT_CONFIGS[size]
-    model = DepthAnything(out_size=out_size, **cfg)
+    out_indices = _checkpoint_out_indices(weights_path) or DA_OUT_INDICES
+    model = DepthAnything(out_size=out_size, out_indices=out_indices, **cfg)
     dummy = jnp.zeros((1, 518, 518, 3))
     params = jax.eval_shape(model.init, jax.random.PRNGKey(0), dummy)
     flat = convert_depth_anything_torch(weights_path, size)

@@ -115,7 +115,12 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
     if fixed_depth_offset is None:
         params["do"] = jnp.asarray(-2.0, jnp.float32)
 
-    cache_key = (steps, lr, grid, K, res, fixed_depth_offset is None,
+    # The fixed offset VALUE is baked into the jitted closure, so it must be
+    # part of the key — `is None` alone would silently reuse a step compiled
+    # for a different fixed value (ADVICE r2).
+    cache_key = (steps, lr, grid, K, res,
+                 None if fixed_depth_offset is None
+                 else float(fixed_depth_offset),
                  tuple(sorted(hk.items())), max_per_tile)
 
     if step_fn_cache is None or cache_key not in step_fn_cache:

@@ -363,7 +363,10 @@ class Trainer:
                 adj = (jnp.zeros((16,), jnp.float32)
                        .at[3:6].add(-cfg.scale_bias)
                        .at[15].add(-cfg.opacity_bias))
-                diff = out["raw"] - (t_raw + adj)
+                # Teachers are 16-wide (no phase head); with
+                # use_phase_output the decoder raw is (..., 19) — the phase
+                # channels have no teacher, so distill only the first 16.
+                diff = out["raw"][..., :16] - (t_raw + adj)
                 # Grouped weights balance the raw channel magnitudes:
                 # xy offsets (world/0.25), log-ish scales, 6D rot, color
                 # logits (up to +-6.9 saturated), opacity logit.

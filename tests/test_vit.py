@@ -301,3 +301,44 @@ class TestWeightConverter:
         torch.save(sd, ckpt)
         with pytest.raises(ValueError, match="no DPT neck"):
             convert_depth_anything_torch(str(ckpt), "small")
+
+
+class TestOutIndices:
+    """Backbone tap pinning (ADVICE r2 high): the DA-V2-small checkpoint's
+    backbone_config.out_indices is [3, 6, 9, 12] (official DA repo taps
+    layers [2, 5, 8, 11] 0-based for vits) — NOT the bare HF
+    DepthAnythingConfig default (9, 10, 11, 12)."""
+
+    def test_v2_small_tap_set_pinned(self):
+        from fresnel_tpu.models.vit import DA_OUT_INDICES
+        assert DA_OUT_INDICES == (3, 6, 9, 12)
+        assert DepthAnything().out_indices == (3, 6, 9, 12)
+
+    def test_config_json_out_indices_read(self, tmp_path):
+        import json
+        from fresnel_tpu.models.vit import _checkpoint_out_indices
+        w = tmp_path / "model.pth"
+        w.write_bytes(b"")
+        assert _checkpoint_out_indices(str(w)) is None
+        (tmp_path / "config.json").write_text(json.dumps(
+            {"backbone_config": {"out_indices": [3, 6, 9, 12]}}))
+        assert _checkpoint_out_indices(str(w)) == (3, 6, 9, 12)
+        # Malformed config -> None, not a crash.
+        (tmp_path / "config.json").write_text("{not json")
+        assert _checkpoint_out_indices(str(w)) is None
+
+    def test_taps_change_output(self):
+        """Different tap sets must produce different depth maps — guards
+        against taps being silently ignored."""
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(size=(1, 56, 56, 3)).astype(np.float32))
+        kw = dict(width=32, depth=4, heads=2, out_size=16, image_size=56,
+                  neck_channels=(8, 8, 8, 8), fusion=8, head_hidden=8)
+        m1 = DepthAnything(out_indices=(1, 2, 3, 4), **kw)
+        m2 = DepthAnything(out_indices=(2, 3, 4), **kw)
+        params = m1.init(jax.random.PRNGKey(0), img)
+        d1 = m1.apply(params, img, raw=True)
+        with pytest.raises(Exception):
+            # 3 taps vs 4 neck levels must fail loudly, not mis-wire.
+            m2.init(jax.random.PRNGKey(0), img)
+        assert np.isfinite(np.asarray(d1)).all()
