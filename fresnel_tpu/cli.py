@@ -392,7 +392,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--elevation", type=float, default=0.0)
     p.add_argument("--distance", type=float, default=2.0)
     p.add_argument("--size", type=int, default=512)
-    p.add_argument("--max_per_tile", type=int, default=512)
+    p.add_argument("--max_per_tile", type=int, default=512,
+                   help="per-tile compositing capacity; 512 here (vs the "
+                        "256 training/eval default) because standalone "
+                        "cloud rendering has no gradients and SAAG clouds "
+                        "are much larger than decoder outputs")
 
     p = sub.add_parser("orbit", help="export an orbit of views")
     p.add_argument("cloud")

@@ -28,7 +28,7 @@ DEFAULT_AZIMUTHS_DEG = (0, 45, 90, 135, 180, 225, 270, 315)
 def render_views(gaussians: Dict[str, jax.Array], render_size: int = 256,
                  azimuths_deg: Sequence[float] = DEFAULT_AZIMUTHS_DEG,
                  elevation_deg: float = 0.0, distance: float = 2.0,
-                 max_per_tile: int = 512) -> jnp.ndarray:
+                 max_per_tile: int = 256) -> jnp.ndarray:
     """Render (V, 3, S, S) orbit views of a Gaussian dict."""
     cfg = TileRendererConfig(max_per_tile=max_per_tile)
     views = []

@@ -33,7 +33,12 @@ def compute_psnr(img1: jax.Array, img2: jax.Array) -> float:
 class VisualEvaluator:
     """Renders a Gaussian dict and scores it against a target image."""
 
-    def __init__(self, render_size: int = 256, max_per_tile: int = 512):
+    # max_per_tile matches the TRAINING default (TrainingConfig.max_per_tile
+    # = 256): a decoder trained under a 256-cap must be scored under the
+    # same compositing truncation (VERDICT r2 weak #8).  Standalone cloud
+    # rendering (fresnel render/orbit) keeps a higher 512 cap — no
+    # gradients there and SAAG clouds are larger.
+    def __init__(self, render_size: int = 256, max_per_tile: int = 256):
         self.render_size = render_size
         self.camera = Camera.default_training(render_size)
         self.cfg = TileRendererConfig(max_per_tile=max_per_tile)

@@ -38,9 +38,14 @@ def make_renderer(name: str, *, use_phase_blending: bool = False,
             max_per_tile=max_per_tile,
             backend=os.environ.get("FRESNEL_RENDER_BACKEND", "auto"))
 
-        def render(p, s, r, c, o, cam, phases=None, return_depth=False):
+        def render(p, s, r, c, o, cam, phases=None, return_depth=False,
+                   return_overflow=False):
             return render_tiled(p, s, r, c, o, cam, phases=phases,
-                                return_depth=return_depth, config=cfg)
+                                return_depth=return_depth,
+                                return_overflow=return_overflow, config=cfg)
+        # Capacity telemetry is a tile-binning concept; callers (the train
+        # harness) probe this marker before requesting it.
+        render.supports_overflow = True
         return render
 
     if name == "dense":

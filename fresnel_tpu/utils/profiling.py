@@ -29,13 +29,22 @@ class RenderStats:
     num_gaussians: int = 0
     num_visible: int = 0
     num_tiles: int = 0
+    # Capacity telemetry: (gaussian, tile) pairs dropped by the static
+    # max_per_tile cap, tiles over cap, and the largest tile's hit count.
+    dropped_pairs: int = 0
+    total_pairs: int = 0
+    overflow_tiles: int = 0
+    max_tile_hits: int = 0
 
     def __str__(self):
         return (f"render: {self.total_ms:.2f} ms "
                 f"(project {self.project_ms:.2f} | bin {self.bin_ms:.2f} | "
                 f"composite {self.composite_ms:.2f}) "
                 f"{self.num_visible}/{self.num_gaussians} gaussians, "
-                f"{self.num_tiles} tiles")
+                f"{self.num_tiles} tiles, "
+                f"overflow {self.dropped_pairs}/{self.total_pairs} pairs "
+                f"({self.overflow_tiles} tiles over cap, "
+                f"max {self.max_tile_hits}/tile)")
 
 
 def render_with_stats(positions, scales, rotations, colors, opacities,
@@ -81,11 +90,14 @@ def render_with_stats(positions, scales, rotations, colors, opacities,
     stats.bin_ms = (time.perf_counter() - t0) * 1000
 
     t0 = time.perf_counter()
-    img = render_tiled(positions, scales, rotations, colors, opacities,
-                       camera, config=cfg)
+    img, ovf = render_tiled(positions, scales, rotations, colors, opacities,
+                            camera, config=cfg, return_overflow=True)
     img.block_until_ready()
     stats.composite_ms = (time.perf_counter() - t0) * 1000
     stats.total_ms = stats.project_ms + stats.bin_ms + stats.composite_ms
+    ovf = [int(x) for x in ovf]
+    stats.dropped_pairs, stats.total_pairs = ovf[0], ovf[1]
+    stats.overflow_tiles, stats.max_tile_hits = ovf[2], ovf[3]
     return img, stats
 
 
