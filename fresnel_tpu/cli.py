@@ -295,8 +295,18 @@ def cmd_orbit(args) -> int:
 
 
 def cmd_view(args) -> int:
+    if args.serve:
+        from fresnel_tpu.viewer.serve import serve_image
+
+        serve_image(args.cloud, port=args.port,
+                    depth_estimator=args.depth_estimator)
+        return 0
+
     from fresnel_tpu.viewer.html_viewer import export_html
 
+    if args.output is None:
+        print("output .html required in static export mode", file=sys.stderr)
+        return 1
     cloud = _load_cloud(args.cloud)
     n = export_html(cloud, args.output, args.max_gaussians, args.distance)
     print(f"viewer with {n} gaussians -> {args.output}")
@@ -407,10 +417,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", type=int, default=256)
 
     p = sub.add_parser("view", help="export an interactive HTML splat viewer")
-    p.add_argument("cloud")
-    p.add_argument("output")
+    p.add_argument("cloud", help="a .ply/.bin cloud (static export) or, with "
+                                 "--serve, the source IMAGE to reprocess")
+    p.add_argument("output", nargs="?", default=None,
+                   help="output .html (static export mode only)")
     p.add_argument("--max_gaussians", type=int, default=30000)
     p.add_argument("--distance", type=float, default=2.0)
+    p.add_argument("--serve", action="store_true",
+                   help="live mode: serve the viewer over HTTP with an "
+                        "in-page reprocess panel (re-runs SAAG with new "
+                        "params server-side — the reference viewer's "
+                        "reprocess_image loop, viewer.cpp:300-452)")
+    p.add_argument("--port", type=int, default=8008)
+    p.add_argument("--depth_estimator", default="auto")
 
     p = sub.add_parser("train", help="train a decoder (flags pass through)")
 

@@ -82,37 +82,59 @@ _TEMPLATE = """<!DOCTYPE html>
  <label>preview cap <span class="v" id="capV"></span>
   <input type="range" id="cap" min="500" max="{n}" step="500" value="{n}"></label>
  <div id="cats"></div>
+{serve_panel}
 </div>
 <canvas id="c"></canvas>
 <script>
-const DATA_B64 = "{data_b64}";
-const N = {n};
 const F = 15;  // x,y,z, sx,sy,sz, qw,qx,qy,qz, r,g,b, op, cat
-const raw = Uint8Array.from(atob(DATA_B64), ch => ch.charCodeAt(0));
-const g = new Float32Array(raw.buffer);
 const HAS_CATS = {has_cats};
+let N = 0, g, M, colPre, cat, priority, DL, dlOrder;
+let sizeMul = 1.0, opMul = 1.0, cap = 0;
 
 // Precompute M = R * diag(scale) per Gaussian (row-major 3x3) and color
 // strings; priority order = opacity-descending (what the cap keeps).
-const M = new Float32Array(9 * N);
-const colPre = new Array(N);
-const cat = new Uint8Array(N);
-for (let i = 0; i < N; i++) {{
-  const o = i * F;
-  const sx = g[o+3], sy = g[o+4], sz = g[o+5];
-  const w = g[o+6], x = g[o+7], y = g[o+8], z = g[o+9];
-  const R = [1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y),
-             2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x),
-             2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)];
-  const m = i * 9;
-  M[m+0]=R[0]*sx; M[m+1]=R[1]*sy; M[m+2]=R[2]*sz;
-  M[m+3]=R[3]*sx; M[m+4]=R[4]*sy; M[m+5]=R[5]*sz;
-  M[m+6]=R[6]*sx; M[m+7]=R[7]*sy; M[m+8]=R[8]*sz;
-  colPre[i] = `rgba(${{g[o+10]*255|0}},${{g[o+11]*255|0}},${{g[o+12]*255|0}},`;
-  cat[i] = g[o+14];
+// A function so a reprocess server can hot-swap the cloud (loadCloud is
+// re-entered with the new payload — the HTML analogue of the reference
+// viewer's load_gaussians after reprocess_image, viewer.cpp:300-452).
+function loadCloud(dataB64, n) {{
+  N = n;
+  const raw = Uint8Array.from(atob(dataB64), ch => ch.charCodeAt(0));
+  g = new Float32Array(raw.buffer);
+  M = new Float32Array(9 * N);
+  colPre = new Array(N);
+  cat = new Uint8Array(N);
+  for (let i = 0; i < N; i++) {{
+    const o = i * F;
+    const sx = g[o+3], sy = g[o+4], sz = g[o+5];
+    const w = g[o+6], x = g[o+7], y = g[o+8], z = g[o+9];
+    const R = [1-2*(y*y+z*z), 2*(x*y-w*z), 2*(x*z+w*y),
+               2*(x*y+w*z), 1-2*(x*x+z*z), 2*(y*z-w*x),
+               2*(x*z-w*y), 2*(y*z+w*x), 1-2*(x*x+y*y)];
+    const m = i * 9;
+    M[m+0]=R[0]*sx; M[m+1]=R[1]*sy; M[m+2]=R[2]*sz;
+    M[m+3]=R[3]*sx; M[m+4]=R[4]*sy; M[m+5]=R[5]*sz;
+    M[m+6]=R[6]*sx; M[m+7]=R[7]*sy; M[m+8]=R[8]*sz;
+    colPre[i] = `rgba(${{g[o+10]*255|0}},${{g[o+11]*255|0}},${{g[o+12]*255|0}},`;
+    cat[i] = g[o+14];
+  }}
+  priority = Array.from({{length: N}}, (_, i) => i)
+    .sort((a, b) => g[b*F+13] - g[a*F+13]);
+  DL = new Float32Array(8 * N);       // drawlist (8 slots per splat)
+  dlOrder = new Int32Array(N);
+  const capEl = document.getElementById('cap');
+  if (capEl) {{
+    capEl.max = N;
+    if (+capEl.value > N || +capEl.value === +capEl.getAttribute('data-n'))
+      capEl.value = N;
+    capEl.setAttribute('data-n', N);
+    cap = Math.min(+capEl.value, N);
+    document.getElementById('capV').textContent = cap;
+  }}
+  const hud = document.querySelector('#hud');
+  if (hud) hud.childNodes[0].textContent =
+    `fresnel-tpu · ${{N}} gaussians · drag=orbit wheel=zoom shift-drag=pan`;
 }}
-const priority = Array.from({{length: N}}, (_, i) => i)
-  .sort((a, b) => g[b*F+13] - g[a*F+13]);
+loadCloud("{data_b64}", {n});
 
 const canvas = document.getElementById('c');
 const ctx = canvas.getContext('2d');
@@ -121,7 +143,6 @@ function resize() {{ W = canvas.width = innerWidth; H = canvas.height = innerHei
 resize(); addEventListener('resize', resize);
 
 // ---- quality panel ----------------------------------------------------
-let sizeMul = 1.0, opMul = 1.0, cap = N;
 const catOn = [true, true, true, true, true];
 const CAT_NAMES = {cat_names};
 const $ = id => document.getElementById(id);
@@ -163,9 +184,6 @@ addEventListener('mousemove', e => {{
 canvas.addEventListener('wheel', e => {{
   dist *= Math.exp(e.deltaY * 0.001); e.preventDefault(); }}, {{passive: false}});
 
-// drawlist: idx, depth, sx, sy, r1, r2, ang, alpha  (8 slots)
-const DL = new Float32Array(8 * N);
-const dlOrder = new Int32Array(N);
 let frames = 0, t0 = performance.now();
 
 function draw() {{
@@ -257,20 +275,19 @@ function draw() {{
   requestAnimationFrame(draw);
 }}
 draw();
+{serve_js}
 </script></body></html>
 """
 
 
-def export_html(cloud, out_path: str, max_gaussians: int = 30000,
-                distance: float = 2.0,
-                categories: "np.ndarray | None" = None) -> int:
-    """GaussianCloud -> self-contained HTML viewer with oriented ellipses.
+def pack_cloud(cloud, categories: "np.ndarray | None" = None,
+               max_gaussians: int = 30000) -> "tuple[str, int]":
+    """GaussianCloud -> (base64 of the 15-float packed payload, count).
 
-    Ships the full (scale3, quat4) parameterization so the client can do
-    real EWA projection.  Caps at max_gaussians keeping the highest-opacity
-    splats (the reference viewer similarly caps interactive previews,
-    viewer.cpp:543-560).  `categories` (uint8 per Gaussian, see
-    saag_categories) enables the per-stage toggles in the panel.
+    Drops masked (near-zero-opacity) splats and caps at max_gaussians
+    keeping the highest-opacity ones (the reference viewer similarly caps
+    interactive previews, viewer.cpp:543-560).  Shared by the static
+    export and the reprocess server's /reprocess response.
     """
     pos = np.asarray(cloud.positions, np.float32)
     scales = np.asarray(cloud.scales, np.float32)
@@ -294,13 +311,38 @@ def export_html(cloud, out_path: str, max_gaussians: int = 30000,
     packed = np.concatenate(
         [pos, scales, quats, np.clip(col, 0, 1), op[:, None],
          cats[:, None].astype(np.float32)], -1).astype("<f4")
-    data_b64 = base64.b64encode(packed.tobytes()).decode()
+    return base64.b64encode(packed.tobytes()).decode(), len(op)
+
+
+def build_html(cloud, max_gaussians: int = 30000, distance: float = 2.0,
+               categories: "np.ndarray | None" = None,
+               serve_panel: str = "", serve_js: str = "") -> "tuple[str, int]":
+    """Render the viewer HTML for a cloud; returns (html, gaussian count).
+
+    serve_panel / serve_js inject the reprocess-server controls
+    (viewer/serve.py) — empty for the self-contained static export.
+    """
+    data_b64, n = pack_cloud(cloud, categories, max_gaussians)
     has_cats = "true" if categories is not None else "false"
-    cat_names = "[" + ",".join(f'"{n}"' for n in CATEGORY_NAMES) + "]"
-    html = _TEMPLATE.format(n=len(op), data_b64=data_b64, distance=distance,
-                            has_cats=has_cats, cat_names=cat_names)
+    cat_names = "[" + ",".join(f'"{nm}"' for nm in CATEGORY_NAMES) + "]"
+    html = _TEMPLATE.format(n=n, data_b64=data_b64, distance=distance,
+                            has_cats=has_cats, cat_names=cat_names,
+                            serve_panel=serve_panel, serve_js=serve_js)
+    return html, n
+
+
+def export_html(cloud, out_path: str, max_gaussians: int = 30000,
+                distance: float = 2.0,
+                categories: "np.ndarray | None" = None) -> int:
+    """GaussianCloud -> self-contained HTML viewer with oriented ellipses.
+
+    Ships the full (scale3, quat4) parameterization so the client can do
+    real EWA projection.  `categories` (uint8 per Gaussian, see
+    saag_categories) enables the per-stage toggles in the panel.
+    """
+    html, n = build_html(cloud, max_gaussians, distance, categories)
     Path(out_path).write_text(html)
-    return len(op)
+    return n
 
 
 def main(argv=None):
