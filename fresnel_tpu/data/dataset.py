@@ -84,13 +84,18 @@ class ImageDataset:
                  feature_size: int = 37, feature_dim: int = 384,
                  use_augmentation: bool = True,
                  max_images: Optional[int] = None,
-                 write_cache: bool = True):
+                 write_cache: bool = True,
+                 teacher_experiment: int = 2):
         self.data_dir = Path(data_dir)
         self.image_size = image_size
         self.feature_size = feature_size
         self.feature_dim = feature_dim
         self.use_augmentation = use_augmentation
         self.write_cache = write_cache
+        # Which experiment's distillation sidecars to pick up (exp-2 keeps
+        # the bare "_teacher.npz" name, others are numbered — see
+        # train/fit_teacher.py teacher_path).
+        self.teacher_experiment = teacher_experiment
         self._extractor = None
         self._depth_estimator = None
         self._samples: List[Sample] = []
@@ -139,7 +144,9 @@ class ImageDataset:
 
         vlm = np.load(vlm_path) if vlm_path.exists() else None
         t_raw = t_do = None
-        t_path = path.with_name(path.stem + "_teacher.npz")
+        suffix = ("_teacher.npz" if self.teacher_experiment == 2
+                  else f"_teacher{self.teacher_experiment}.npz")
+        t_path = path.with_name(path.stem + suffix)
         if t_path.exists():
             with np.load(t_path) as t:
                 t_raw = t["raw"].astype(np.float32)

@@ -37,8 +37,11 @@ OPG = 16                     # outputs per Gaussian (no phase head)
 IDENTITY_6D = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0)
 
 
-def teacher_path(img_path: Path) -> Path:
-    return img_path.with_name(img_path.stem + "_teacher.npz")
+def teacher_path(img_path: Path, experiment: int = 2) -> Path:
+    """Sidecar path; exp-2 keeps the round-2 name, other experiments get a
+    numbered suffix so both teacher sets can coexist per scene."""
+    suffix = "_teacher.npz" if experiment == 2 else f"_teacher{experiment}.npz"
+    return img_path.with_name(img_path.stem + suffix)
 
 
 def init_raw(image: np.ndarray, depth: np.ndarray, camera, *,
@@ -82,18 +85,52 @@ def init_raw(image: np.ndarray, depth: np.ndarray, camera, *,
     return raw
 
 
+def init_raw_fib(image: np.ndarray, depth: np.ndarray, camera, *,
+                 n_points: int = 377, K: int = 1,
+                 head_kwargs: Optional[dict] = None) -> np.ndarray:
+    """Exp-4 surface init in SPIRAL head space (fib_head_transform):
+    zero XY offsets (points sit on the Vogel spiral), sigma ~= the mean
+    spiral spacing 2/sqrt(N), opacity ~0.82, colors sampled at the
+    projected spiral positions."""
+    import jax.numpy as jnp
+
+    from fresnel_tpu.models.fibonacci import fib_head_transform
+
+    raw = np.zeros((1, n_points, K, OPG), np.float32)
+    target_sigma = 2.0 / np.sqrt(n_points)
+    raw[..., 3:6] = np.log(np.expm1(target_sigma / 0.15)) - 1.0
+    raw[..., 6:12] = IDENTITY_6D
+    raw[..., 15] = 1.5                                          # op ~0.82
+
+    out = fib_head_transform(jnp.asarray(raw), jnp.asarray(depth)[None],
+                             jnp.asarray(-2.0), **(head_kwargs or {}))
+    uv, _ = camera.project(out["positions"][0])
+    uv = np.asarray(uv)
+    u = np.clip(uv[:, 0].round().astype(int), 0, image.shape[2] - 1)
+    v = np.clip(uv[:, 1].round().astype(int), 0, image.shape[1] - 1)
+    col = image[:, v, u].T                                      # (N*K, 3)
+    logit = np.log(np.clip(col, 1e-3, 1 - 1e-3)
+                   / np.clip(1 - col, 1e-3, 1.0))
+    raw[..., 12:15] = logit.reshape(n_points, K, 3)
+    return raw
+
+
 def fit_scene(image: np.ndarray, depth: np.ndarray, *,
               steps: int = 800, lr: float = 1e-2, grid: int = 37, K: int = 4,
               res: int = 256, fixed_depth_offset: Optional[float] = None,
               head_kwargs: Optional[dict] = None,
               max_per_tile: int = 1024,
               step_fn_cache: Optional[dict] = None,
+              experiment: int = 2,
               ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
     """Fit raw head values (+ depth_offset unless fixed) to one scene by
-    Adam through head_transform + the tiled rasterizer.
+    Adam through the experiment's head transform + the tiled rasterizer.
 
-    Returns (teacher dict for npz, metrics dict).  Pass a shared
-    `step_fn_cache` dict across scenes to reuse the compiled step.
+    experiment 2 fits in DirectPatchDecoder grid space (grid x grid x K);
+    experiment 4 in FibonacciPatchDecoder spiral space (`grid` is then the
+    spiral point count N, K the gaussians per point).  Returns (teacher
+    dict for npz, metrics dict).  Pass a shared `step_fn_cache` dict
+    across scenes to reuse the compiled step.
     """
     import jax
     import jax.numpy as jnp
@@ -101,8 +138,12 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
 
     from fresnel_tpu.core.camera import Camera
     from fresnel_tpu.losses.ssim import ssim
-    from fresnel_tpu.models.decoders import head_transform
     from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
+
+    if experiment == 4:
+        from fresnel_tpu.models.fibonacci import fib_head_transform as head_fn
+    else:
+        from fresnel_tpu.models.decoders import head_transform as head_fn
 
     hk = dict(head_kwargs or {})
     camera = Camera.default_training(res)
@@ -110,15 +151,19 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
     target = jnp.asarray(image)
     depth_j = jnp.asarray(depth)[None]
 
-    params = {"raw": jnp.asarray(
-        init_raw(image, depth, camera, grid=grid, K=K, head_kwargs=hk))}
+    if experiment == 4:
+        raw0 = init_raw_fib(image, depth, camera, n_points=grid, K=K,
+                            head_kwargs=hk)
+    else:
+        raw0 = init_raw(image, depth, camera, grid=grid, K=K, head_kwargs=hk)
+    params = {"raw": jnp.asarray(raw0)}
     if fixed_depth_offset is None:
         params["do"] = jnp.asarray(-2.0, jnp.float32)
 
     # The fixed offset VALUE is baked into the jitted closure, so it must be
     # part of the key — `is None` alone would silently reuse a step compiled
     # for a different fixed value (ADVICE r2).
-    cache_key = (steps, lr, grid, K, res,
+    cache_key = (experiment, steps, lr, grid, K, res,
                  None if fixed_depth_offset is None
                  else float(fixed_depth_offset),
                  tuple(sorted(hk.items())), max_per_tile)
@@ -129,7 +174,7 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
         def render(p, d):
             fixed = -2.0 if fixed_depth_offset is None else fixed_depth_offset
             do = p.get("do", jnp.asarray(float(fixed)))
-            out = head_transform(p["raw"], d, do, **hk)
+            out = head_fn(p["raw"], d, do, **hk)
             return render_tiled(out["positions"][0], out["scales"][0],
                                 out["rotations"][0], out["colors"][0],
                                 out["opacities"][0], camera, config=cfg)
@@ -177,8 +222,16 @@ def main():
     ap.add_argument("--steps", type=int, default=800)
     ap.add_argument("--lr", type=float, default=1e-2)
     ap.add_argument("--res", type=int, default=256)
-    ap.add_argument("--grid", type=int, default=37)
-    ap.add_argument("--K", type=int, default=4)
+    ap.add_argument("--experiment", type=int, default=2, choices=[2, 4],
+                    help="2 = DirectPatch grid head space; 4 = Fibonacci "
+                         "spiral head space (grid/K become N points and "
+                         "gaussians per point)")
+    ap.add_argument("--grid", type=int, default=None,
+                    help="grid side (exp 2, default 37) or spiral point "
+                         "count (exp 4, default 377)")
+    ap.add_argument("--K", type=int, default=None,
+                    help="gaussians per patch (exp 2, default 4) or per "
+                         "point (exp 4, default 1)")
     ap.add_argument("--fixed_do", type=float, default=None,
                     help="Freeze depth_offset at this value (default: fit "
                          "a free per-scene scalar and report the spread)")
@@ -195,21 +248,24 @@ def main():
     # anticipated per scene; and the distillation loss compares raw
     # PRE-modulation head outputs, where it cancels anyway.
     hk: dict = {}
+    grid = args.grid if args.grid else (377 if args.experiment == 4 else 37)
+    K = args.K if args.K else (1 if args.experiment == 4 else 4)
     ds = ImageDataset(args.data_dir, image_size=args.res,
                       use_augmentation=False, max_images=args.scenes)
     cache: dict = {}
     ssims, psnrs, dos = [], [], []
     for i, (path, s) in enumerate(zip(ds.paths, ds._samples)):
-        tpath = teacher_path(path)
+        tpath = teacher_path(path, args.experiment)
         if tpath.exists() and not args.overwrite and not args.no_save:
             print(f"[{i + 1}/{len(ds.paths)}] {path.name}: teacher exists")
             continue
         t0 = time.perf_counter()
         teacher, m = fit_scene(
             np.transpose(s.image, (2, 0, 1)), s.depth,
-            steps=args.steps, lr=args.lr, grid=args.grid,
-            K=args.K, res=args.res, fixed_depth_offset=args.fixed_do,
-            head_kwargs=hk, step_fn_cache=cache)
+            steps=args.steps, lr=args.lr, grid=grid,
+            K=K, res=args.res, fixed_depth_offset=args.fixed_do,
+            head_kwargs=hk, step_fn_cache=cache,
+            experiment=args.experiment)
         dos.append(float(teacher["depth_offset"]))
         ssims.append(m["ssim"])
         psnrs.append(m["psnr"])

@@ -243,8 +243,10 @@ class Trainer:
                                   else (None, None))
 
         # Raw-head distillation (fit_teacher.py sidecars): DirectPatch
-        # decoders only — the physics variant's head differs.
-        distill_on = (cfg.distill_weight > 0 and cfg.experiment == 2
+        # (exp 2, grid head space) and Fibonacci (exp 4, spiral head
+        # space) — the physics variant's head differs.
+        distill_on = (cfg.distill_weight > 0
+                      and cfg.experiment in (2, 4)
                       and not (pcfg is not None and pcfg.use_wave_rendering
                                and not cfg.use_phase_output))
 
@@ -387,7 +389,9 @@ class Trainer:
             if distill_on and "teacher_raw" in batch:
                 # Teacher raws were fit with zero head biases; shift the
                 # targets so biased heads still match in raw space.
-                t_raw = batch["teacher_raw"][:, :, :, :K, :]    # (B,H,W,K,16)
+                # K slice on axis -2 covers both teacher layouts:
+                # exp 2 (B, g, g, Kt, 16) and exp 4 (B, N, Kt, 16).
+                t_raw = batch["teacher_raw"][..., :K, :]
                 adj = (jnp.zeros((16,), jnp.float32)
                        .at[3:6].add(-cfg.scale_bias)
                        .at[15].add(-cfg.opacity_bias))

@@ -278,7 +278,8 @@ def main(argv=None):
             config.data_dir, image_size=config.image_size,
             feature_dim=config.feature_dim,
             use_augmentation=config.use_augmentation,
-            max_images=config.max_images)
+            max_images=config.max_images,
+            teacher_experiment=config.experiment)
     print(f"dataset: {len(dataset)} samples")
 
     mesh = None

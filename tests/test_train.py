@@ -298,3 +298,89 @@ class TestDistillation:
         assert teacher["raw"].shape == (4, 4, 2, 16)
         assert teacher["depth_offset"] == 0.0
         assert np.isfinite(m["ssim"]) and np.isfinite(m["psnr"])
+
+    def test_fit_teacher_exp4_spiral_space(self):
+        # Exp-4 teachers are fit in FibonacciPatchDecoder spiral head space
+        # (VERDICT r2 next #9 — the reference's best PSNR is an exp-4
+        # number, so parity must be claimable on the same architecture).
+        from fresnel_tpu.train.fit_teacher import fit_scene
+        rng = np.random.default_rng(1)
+        img = rng.random((3, 32, 32)).astype(np.float32)
+        depth = rng.random((32, 32)).astype(np.float32)
+        teacher, m = fit_scene(img, depth, steps=3, grid=21, K=1, res=32,
+                               fixed_depth_offset=0.0, experiment=4)
+        assert teacher["raw"].shape == (21, 1, 16)
+        assert np.isfinite(m["ssim"]) and np.isfinite(m["psnr"])
+
+    def test_fib_decoder_return_raw_matches_head_transform(self):
+        # Same contract as exp-2: the fibonacci decoder's outputs must
+        # equal fib_head_transform applied to its own raw values.
+        from fresnel_tpu.models.fibonacci import (
+            FibonacciPatchDecoder, fib_head_transform)
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((1, 5, 5, 8)), jnp.float32)
+        depth = jnp.asarray(rng.random((1, 16, 16)), jnp.float32)
+        m = FibonacciPatchDecoder(feature_dim=8, n_points=13,
+                                  hidden_dims=(16,), dropout=0.0)
+        p = m.init(jax.random.PRNGKey(0), feats, depth)
+        out = m.apply(p, feats, depth, return_raw=True)
+        do = p["params"]["depth_offset"]
+        ref = fib_head_transform(out["raw"], depth, do)
+        for k in ("positions", "scales", "rotations", "colors", "opacities"):
+            np.testing.assert_allclose(out[k], ref[k], atol=1e-6)
+
+    def test_exp4_distill_step_runs(self, tiny_dataset, tmp_path):
+        # Exp-4 distillation end to end: spiral teachers (B, N, K, 16)
+        # flow through the K-agnostic slice and produce a finite,
+        # decreasing distill term.
+        ds = tiny_dataset
+        rng = np.random.default_rng(0)
+        for s in ds._samples:
+            s.teacher_raw = rng.standard_normal(
+                (13, 1, 16)).astype(np.float32) * 0.1
+            s.teacher_do = np.float32(0.0)
+        cfg = tiny_config(tmp_path, epochs=1, distill_weight=50.0,
+                          lr=1e-3, experiment=4, n_spiral_points=13)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        nprng = np.random.default_rng(0)
+        first = next(iter(ds.batches(2, nprng)))
+        state = trainer.init_state(first)
+        step = trainer.get_step(1, None)
+        jb = {k: jnp.asarray(v) for k, v in first.items()}
+        jb["distill_scale"] = jnp.float32(1.0)
+        key = jax.random.PRNGKey(0)
+        _, ld0 = step(state, jb, key)
+        d0 = float(ld0["distill"])
+        state = trainer.init_state(first)   # step donates its state arg
+        for i in range(8):
+            state, ld = step(state, jb, jax.random.fold_in(key, i))
+        assert np.isfinite(d0)
+        assert float(ld["distill"]) < d0
+
+    def test_dataset_teacher_experiment_suffix(self, tmp_path):
+        # teacher_experiment=4 picks up _teacher4.npz and ignores the
+        # exp-2 sidecar (and vice versa).
+        from PIL import Image
+
+        from fresnel_tpu.data.dataset import ImageDataset
+
+        img_path = tmp_path / "scene.png"
+        Image.fromarray(np.full((32, 32, 3), 90, np.uint8)).save(img_path)
+        rng = np.random.default_rng(0)
+        np.savez(tmp_path / "scene_teacher.npz",
+                 raw=rng.random((4, 4, 1, 16)).astype(np.float32),
+                 depth_offset=np.float32(-2.0))
+        np.savez(tmp_path / "scene_teacher4.npz",
+                 raw=rng.random((13, 1, 16)).astype(np.float32),
+                 depth_offset=np.float32(-1.0))
+        ds2 = ImageDataset(str(tmp_path), image_size=32, feature_size=4,
+                           feature_dim=8, use_augmentation=False,
+                           write_cache=False)
+        ds4 = ImageDataset(str(tmp_path), image_size=32, feature_size=4,
+                           feature_dim=8, use_augmentation=False,
+                           write_cache=False, teacher_experiment=4)
+        assert ds2._samples[0].teacher_raw.shape == (4, 4, 1, 16)
+        assert ds4._samples[0].teacher_raw.shape == (13, 1, 16)
+        assert float(ds4._samples[0].teacher_do) == -1.0
