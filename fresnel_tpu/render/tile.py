@@ -58,6 +58,10 @@ class TileRendererConfig:
     binning: str = "auto"        # "auto" (search beyond ~96k Gaussians) |
                                  # "pairs" (window-pair scatter) | "search"
                                  # (rank-table two-level binary search) |
+                                 # "stream" (Pallas single-pass streaming
+                                 # compaction with capacity early-exit —
+                                 # no rank table, no searches; TPU only,
+                                 # see pallas_stream_binning.py) |
                                  # "rows" (two-stage row-segment: per-tile-
                                  # row lists then per-tile — ~50x less
                                  # table traffic than search at 1M) |
@@ -798,7 +802,14 @@ def render_tiled(
         # (4-6x slower than search at 200k-1M, T-022) — it only wins if
         # that gather moves into a Pallas kernel.
         binning = "search" if N >= 98304 else "pairs"
-    if binning == "chunked":
+    if binning == "stream":
+        from fresnel_tpu.render.pallas_stream_binning import (
+            bin_gaussians_stream)
+
+        tile_idx, tile_valid = bin_gaussians_stream(
+            means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap,
+            interpret=cfg.pallas_interpret)
+    elif binning == "chunked":
         tile_idx, tile_valid = _bin_gaussians_chunked(
             means2d, radii, visible, n_tiles_x, n_tiles_y, ts, m_cap)
     elif binning == "rows":

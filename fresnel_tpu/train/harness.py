@@ -465,7 +465,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, dataset, epochs: Optional[int] = None,
             state: Optional[Dict] = None, log_fn: Callable = print,
-            mesh=None) -> Dict:
+            mesh=None, start_epoch: int = 0) -> Dict:
+        """start_epoch resumes mid-schedule: HFTS progressive K, the
+        distill decay, and checkpoint numbering all continue from the
+        loaded epoch instead of restarting (needed because the axon
+        tunnel's execution cache leaks ~input-size host RAM per step, so
+        long runs must be split into resumed segments)."""
         cfg = self.config
         epochs = cfg.epochs if epochs is None else epochs
         nprng = np.random.default_rng(cfg.seed)
@@ -494,7 +499,7 @@ class Trainer:
         out_dir.mkdir(parents=True, exist_ok=True)
         best_loss = float("inf")
 
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             K = self.hfts_config.get_gaussians_per_patch(
                 epoch, epochs, cfg.gaussians_per_patch)
             n_total = self._total_gaussians(K)

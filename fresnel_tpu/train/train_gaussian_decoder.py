@@ -291,14 +291,17 @@ def main(argv=None):
     trainer = Trainer(config, physics, hfgs, hfts, lpips=lpips)
 
     state = None
+    start_epoch = 0
     if args.resume:
         import numpy as np
         first = next(iter(dataset.batches(
             config.batch_size, np.random.default_rng(0))))
         state, epoch = trainer.load_checkpoint(args.resume, first)
-        print(f"resumed from {args.resume} (epoch {epoch})")
+        start_epoch = epoch + 1
+        print(f"resumed from {args.resume} (epoch {epoch}; "
+              f"continuing at {start_epoch})")
 
-    trainer.fit(dataset, state=state, mesh=mesh)
+    trainer.fit(dataset, state=state, mesh=mesh, start_epoch=start_epoch)
     print("training complete")
 
 

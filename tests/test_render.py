@@ -305,6 +305,29 @@ class TestSearchBinning:
             np.asarray(jnp.where(tv1, ti1, -1)),
             np.asarray(jnp.where(tv2, ti2, -1)))
 
+    def test_stream_tables_identical(self):
+        # The Pallas single-pass streaming compaction (binning="stream",
+        # pallas_stream_binning.py) must be bit-identical to the search
+        # tables.  Interpret mode with shrunk chunk/span constants (the
+        # tuned TPU constants unroll a trace too large to interpret).
+        from fresnel_tpu.render.pallas_stream_binning import (
+            bin_gaussians_stream)
+        from fresnel_tpu.render.tile import _bin_gaussians_search
+
+        cam = Camera.default_training(128)
+        for n, M in [(900, 64), (3000, 256)]:
+            cloud = GaussianCloud.test_cloud(n, seed=n + 5, spread=0.6,
+                                             z_offset=-2.0, scale=0.05)
+            m2, rad, vis = self._sorted_projection(cloud, cam)
+            ti1, tv1 = _bin_gaussians_search(m2, rad, vis, 8, 8, 16, M)
+            ti2, tv2 = bin_gaussians_stream(
+                m2, rad, vis, 8, 8, 16, M, interpret=True,
+                chunk=128, cpc=2, tile_block=8, win=16)
+            np.testing.assert_array_equal(np.asarray(tv1), np.asarray(tv2))
+            np.testing.assert_array_equal(
+                np.asarray(jnp.where(tv1, ti1, -1)),
+                np.asarray(jnp.where(tv2, ti2, -1)))
+
     @pytest.mark.parametrize("n", [900, 5000])
     def test_rows_tables_identical(self, n):
         # Two-stage row-segment binning must match the rank-table search
