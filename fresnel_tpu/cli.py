@@ -362,6 +362,24 @@ def cmd_eval(args) -> int:
     results = evaluate_novel_views(samples, render_size=args.size,
                                    output_json=args.output_json)
     print(json.dumps(results, indent=2))
+
+    if getattr(args, "save_grid", None):
+        # Qualitative grid: rows = scenes, columns = [render | target].
+        from fresnel_tpu.evaluation.visual_eval import VisualEvaluator
+
+        ev = VisualEvaluator(render_size=args.size)
+        rows = []
+        for s in samples[:8]:
+            img = np.asarray(ev.render(s["gaussians"]))
+            tgt = np.asarray(jnp.asarray(s["target"]))
+            if tgt.shape[-1] != args.size:
+                import jax
+                tgt = np.asarray(jax.image.resize(
+                    jnp.asarray(tgt), (3, args.size, args.size), "linear"))
+            rows.append(np.concatenate([img, tgt], axis=2))
+        grid = np.clip(np.concatenate(rows, axis=1), 0, 1)
+        _save_png(jnp.asarray(grid), args.save_grid)
+        print(f"qualitative grid -> {args.save_grid}")
     return 0
 
 
@@ -440,6 +458,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max_images", type=int, default=None)
     p.add_argument("--size", type=int, default=256)
     p.add_argument("--output_json", default=None)
+    p.add_argument("--save_grid", default=None, metavar="OUT.png",
+                   help="save a qualitative grid (render | target rows) "
+                        "for the first scenes")
     return parser
 
 

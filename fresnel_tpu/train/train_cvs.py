@@ -93,6 +93,104 @@ class GaussianBootstrapDataset:
                    for k in keys}
 
 
+class TeacherMultiviewDataset:
+    """Photo-like multiview pairs from the quality campaign's teacher fits.
+
+    The synthetic corpus (data/synthetic_corpus.py) is 2.5-D — frontal
+    image + exact depth, not renderable from other angles — but its
+    per-scene TEACHER fits (train/fit_teacher.py, SSIM ~0.985 Gaussian
+    clouds in decoder head space) are true 3-D proxies.  Rendering each
+    teacher cloud from orbit poses yields geometry-consistent, photo-like
+    view pairs at full resolution — the closest a no-egress environment
+    gets to the reference's real multi-view training data
+    (reference: scripts/training/train_cvs.py dataset loading).
+
+    Sample contract matches GaussianBootstrapDataset: input_image,
+    features (DINOv2 grid of the input view), R_rel, t_rel, target_image,
+    target_depth.
+    """
+
+    def __init__(self, data_dir: str = "data/corpus_v1",
+                 image_size: int = 256, views_per_scene: int = 4,
+                 max_scenes: Optional[int] = None, seed: int = 0,
+                 el_range=(-0.15, 0.3), az_range=(-0.4, 0.4),
+                 feature_dim: int = 384):
+        import jax
+        import jax.numpy as jnp
+        from fresnel_tpu.core.camera import Camera
+        from fresnel_tpu.models.decoders import head_transform
+        from fresnel_tpu.models.encoders import create_feature_extractor
+        from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
+        from fresnel_tpu.train.fit_teacher import teacher_path
+
+        self.image_size = image_size
+        rng = np.random.default_rng(seed)
+        extractor = create_feature_extractor(dim=feature_dim)
+        rcfg = TileRendererConfig(max_per_tile=1024)
+
+        @jax.jit
+        def render_pose(cloud, el, az):
+            cam = Camera.from_pose(el, az, image_size, distance=2.0)
+            return render_tiled(cloud["positions"], cloud["scales"],
+                                cloud["rotations"], cloud["colors"],
+                                cloud["opacities"], cam, config=rcfg,
+                                return_depth=True)
+
+        pngs = sorted(Path(data_dir).glob("*.png"))
+        scenes = [p for p in pngs if teacher_path(p).exists()]
+        if max_scenes:
+            scenes = scenes[:max_scenes]
+        if not scenes:
+            raise FileNotFoundError(
+                f"no *_teacher.npz sidecars under {data_dir} — run "
+                "python -m fresnel_tpu.train.fit_teacher first")
+
+        self._samples = []
+        for p in scenes:
+            with np.load(teacher_path(p)) as t:
+                raw, do = t["raw"], float(t["depth_offset"])
+            dpath = p.with_name(p.stem + "_depth.bin")
+            d = np.fromfile(dpath, np.float32)
+            side = int(round(len(d) ** 0.5))
+            depth = jnp.asarray(d.reshape(side, side))
+            out = head_transform(jnp.asarray(raw)[None], depth[None],
+                                 jnp.asarray(do))
+            cloud = {k: out[k][0] for k in
+                     ("positions", "scales", "rotations", "colors",
+                      "opacities")}
+
+            poses = [(0.0, 0.0)] + [
+                (rng.uniform(*el_range), rng.uniform(*az_range))
+                for _ in range(views_per_scene - 1)]
+            views, depths, mats = [], [], []
+            for el, az in poses:
+                img, dep = render_pose(cloud, jnp.float32(el),
+                                       jnp.float32(az))
+                cam = Camera.from_pose(el, az, image_size, distance=2.0)
+                views.append(np.asarray(img))
+                depths.append(np.asarray(dep))
+                mats.append((np.asarray(cam.view[:3, :3]),
+                             np.asarray(cam.view[:3, 3])))
+            feats = np.asarray(extractor(
+                jnp.asarray(np.transpose(views[0], (1, 2, 0)))))
+            for i in range(1, views_per_scene):
+                R_rel = mats[i][0] @ mats[0][0].T
+                t_rel = mats[i][1] - R_rel @ mats[0][1]
+                self._samples.append({
+                    "input_image": views[0],
+                    "features": feats,
+                    "R_rel": R_rel.astype(np.float32),
+                    "t_rel": t_rel.astype(np.float32),
+                    "target_image": views[i],
+                    "target_depth": depths[i],
+                })
+
+    def __len__(self):
+        return len(self._samples)
+
+    batches = GaussianBootstrapDataset.batches
+
+
 @dataclasses.dataclass
 class CVSTrainConfig:
     output_dir: str = "checkpoints_cvs"
@@ -270,14 +368,17 @@ class CVSTrainer:
         return jax.jit(step)
 
     def fit(self, dataset, epochs: Optional[int] = None, state=None,
-            log_fn=print):
+            log_fn=print, start_epoch: int = 0):
+        """start_epoch continues the consistency-ramp schedule mid-run —
+        long trainings must be split into resumed segments because the
+        axon tunnel's execution cache leaks ~input-size host RAM/step."""
         import jax
         import jax.numpy as jnp
 
         cfg = self.cfg
         epochs = epochs or cfg.epochs
-        nprng = np.random.default_rng(cfg.seed)
-        rng = jax.random.PRNGKey(cfg.seed + 1)
+        nprng = np.random.default_rng(cfg.seed + start_epoch)
+        rng = jax.random.PRNGKey(cfg.seed + 1 + start_epoch)
         first = next(iter(dataset.batches(cfg.batch_size, nprng)))
         if state is None:
             state = self.init_state(first)
@@ -286,7 +387,7 @@ class CVSTrainer:
 
         out_dir = Path(cfg.output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             # Progressive consistency-weight ramp (staircase schedule when
             # quality-aware training is on, reference parity).
             if cfg.use_quality_aware:
@@ -347,11 +448,20 @@ def main(argv=None):
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--base_channels", type=int, default=64)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--data_dir", default=None,
+                   help="corpus dir with *_teacher.npz sidecars -> train "
+                        "on TeacherMultiviewDataset orbit pairs instead "
+                        "of the synthetic bootstrap clouds")
+    p.add_argument("--views_per_scene", type=int, default=4)
+    p.add_argument("--max_scenes", type=int, default=None)
     p.add_argument("--use_quality_aware", action="store_true")
     p.add_argument("--use_amp", action="store_true",
                    help="bf16 U-Net compute (fp32 master weights)")
     p.add_argument("--n_scenes", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint to continue from (epoch schedule "
+                        "resumes after the saved epoch)")
     args = p.parse_args(argv)
 
     cfg = CVSTrainConfig(
@@ -360,10 +470,29 @@ def main(argv=None):
         base_channels=args.base_channels,
         use_quality_aware=args.use_quality_aware, use_amp=args.use_amp,
         seed=args.seed)
-    dataset = GaussianBootstrapDataset(
-        n_scenes=args.n_scenes, image_size=cfg.image_size, seed=cfg.seed)
+    if args.data_dir:
+        dataset = TeacherMultiviewDataset(
+            args.data_dir, image_size=cfg.image_size,
+            views_per_scene=args.views_per_scene,
+            max_scenes=args.max_scenes, seed=cfg.seed)
+    else:
+        dataset = GaussianBootstrapDataset(
+            n_scenes=args.n_scenes, image_size=cfg.image_size, seed=cfg.seed)
     print(f"dataset: {len(dataset)} view pairs")
-    CVSTrainer(cfg).fit(dataset)
+
+    trainer = CVSTrainer(cfg)
+    state, start_epoch = None, 0
+    if args.resume:
+        import flax.serialization as ser
+
+        nprng = np.random.default_rng(cfg.seed)
+        first = next(iter(dataset.batches(cfg.batch_size, nprng)))
+        template = trainer.init_state(first)
+        state = ser.from_bytes(template, Path(args.resume).read_bytes())
+        meta = json.loads(Path(args.resume + ".json").read_text())
+        start_epoch = meta.get("epoch", -1) + 1
+        print(f"resumed from {args.resume} (continuing at {start_epoch})")
+    trainer.fit(dataset, state=state, start_epoch=start_epoch)
     print("cvs training complete")
 
 

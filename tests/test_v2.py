@@ -218,3 +218,51 @@ class TestCVS:
         R_rel, t_rel = get_relative_pose(R, t, R2, t2)
         np.testing.assert_allclose(np.asarray(R_rel[0]), np.eye(3), atol=1e-6)
         np.testing.assert_allclose(np.asarray(t_rel[0]), [1, 0, 0], atol=1e-6)
+
+
+class TestTeacherMultiviewDataset:
+    def test_orbit_pairs_from_teacher_sidecars(self, tmp_path):
+        """CVS multiview data from the quality campaign's teacher fits:
+        a tiny fake corpus (png + depth cache + teacher sidecar) must
+        yield geometry-consistent orbit pairs in the bootstrap-dataset
+        sample contract (train_cvs.TeacherMultiviewDataset)."""
+        from PIL import Image
+
+        from fresnel_tpu.train.fit_teacher import init_raw
+        from fresnel_tpu.core.camera import Camera
+        from fresnel_tpu.train.train_cvs import TeacherMultiviewDataset
+
+        rng = np.random.default_rng(0)
+        S = 32
+        for name in ("a", "b"):
+            img = rng.uniform(0.2, 0.9, (S, S, 3)).astype(np.float32)
+            depth = rng.uniform(0.1, 0.9, (S, S)).astype(np.float32)
+            Image.fromarray((img * 255).astype(np.uint8)).save(
+                tmp_path / f"{name}.png")
+            depth.tofile(tmp_path / f"{name}_depth.bin")
+            raw = init_raw(np.transpose(img, (2, 0, 1)), depth,
+                           Camera.default_training(S), grid=5, K=1)
+            np.savez(tmp_path / f"{name}_teacher.npz", raw=raw[0],
+                     depth_offset=np.float32(-2.0))
+
+        ds = TeacherMultiviewDataset(str(tmp_path), image_size=S,
+                                     views_per_scene=3, seed=1)
+        assert len(ds) == 4                      # 2 scenes x 2 targets
+        b = next(iter(ds.batches(2, np.random.default_rng(0))))
+        assert b["input_image"].shape == (2, 3, S, S)
+        assert b["target_image"].shape == (2, 3, S, S)
+        assert b["target_depth"].shape == (2, S, S)
+        assert b["R_rel"].shape == (2, 3, 3)
+        assert b["features"].shape[0] == 2
+        # Targets are genuinely novel views (pose moved the image).
+        assert not np.allclose(b["input_image"], b["target_image"])
+        # Rotations are valid (orthonormal) relative poses.
+        RtR = np.einsum("bij,bik->bjk", b["R_rel"], b["R_rel"])
+        np.testing.assert_allclose(RtR, np.broadcast_to(np.eye(3), (2, 3, 3)),
+                                   atol=1e-5)
+
+    def test_missing_teachers_raise(self, tmp_path):
+        from fresnel_tpu.train.train_cvs import TeacherMultiviewDataset
+
+        with pytest.raises(FileNotFoundError, match="teacher"):
+            TeacherMultiviewDataset(str(tmp_path), image_size=32)
