@@ -21,6 +21,7 @@ class TrainingConfig:
     batch_size: int = 4
     epochs: int = 100
     lr: float = 1e-4
+    lr_schedule: str = "cosine"   # "cosine" (reference default) | "constant"
     weight_decay: float = 1e-5
     image_size: int = 256
     feature_size: int = 37

@@ -195,7 +195,10 @@ class Trainer:
 
     def _make_optimizer(self, total_steps: int):
         cfg = self.config
-        schedule = optax.cosine_decay_schedule(cfg.lr, max(total_steps, 1))
+        schedule = (cfg.lr if getattr(cfg, "lr_schedule", "cosine")
+                    == "constant"
+                    else optax.cosine_decay_schedule(cfg.lr,
+                                                     max(total_steps, 1)))
         self.optimizer = optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adamw(schedule, weight_decay=cfg.weight_decay),
@@ -465,10 +468,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, dataset, epochs: Optional[int] = None,
             state: Optional[Dict] = None, log_fn: Callable = print,
-            mesh=None, start_epoch: int = 0) -> Dict:
-        """start_epoch resumes mid-schedule: HFTS progressive K, the
-        distill decay, and checkpoint numbering all continue from the
-        loaded epoch instead of restarting (needed because the axon
+            mesh=None, start_epoch: int = 0,
+            stop_epoch: Optional[int] = None) -> Dict:
+        """start_epoch/stop_epoch run a SEGMENT of the full schedule: HFTS
+        progressive K, the distill decay, the cosine lr span, and
+        checkpoint numbering all follow the full `epochs`, while only
+        [start_epoch, stop_epoch) executes (needed because the axon
         tunnel's execution cache leaks ~input-size host RAM per step, so
         long runs must be split into resumed segments)."""
         cfg = self.config
@@ -491,6 +496,19 @@ class Trainer:
         self._depth_side = int(first["depth"].shape[-1])
         if state is None:
             state = self.init_state(first)
+            if cfg.distill_weight > 0 and "teacher_do" in first:
+                # Adam moves a scalar ~lr per step, so the global
+                # depth_offset (init -2.0) cannot traverse to the teacher
+                # consensus (~-0.13) within a run — and a wrong offset
+                # shifts the whole cloud's depth range, which alone
+                # produces mush renders regardless of the (fast-converging)
+                # raw regression.  Start the scalar at the regression
+                # target's mean instead.
+                do0 = float(np.mean(first["teacher_do"]))
+                state["params"]["model"]["params"]["depth_offset"] = (
+                    jnp.asarray(do0, jnp.float32))
+                log_fn(f"distill: depth_offset initialized at teacher "
+                       f"mean {do0:.3f}")
             if mesh is not None:
                 from fresnel_tpu.parallel.mesh import replicate
                 state = replicate(state, mesh)
@@ -499,7 +517,8 @@ class Trainer:
         out_dir.mkdir(parents=True, exist_ok=True)
         best_loss = float("inf")
 
-        for epoch in range(start_epoch, epochs):
+        last_epoch = epochs if stop_epoch is None else min(stop_epoch, epochs)
+        for epoch in range(start_epoch, last_epoch):
             K = self.hfts_config.get_gaussians_per_patch(
                 epoch, epochs, cfg.gaussians_per_patch)
             n_total = self._total_gaussians(K)
@@ -546,7 +565,13 @@ class Trainer:
                 best_loss = means["total"]
                 self.save_checkpoint(out_dir / "best_model.msgpack", state, epoch)
 
-        self.save_checkpoint(out_dir / "final_model.msgpack", state, epochs - 1)
+        if last_epoch >= epochs:
+            self.save_checkpoint(out_dir / "final_model.msgpack", state,
+                                 epochs - 1)
+        else:   # segment boundary: guarantee a resume point
+            self.save_checkpoint(
+                out_dir / f"checkpoint_epoch{last_epoch}.msgpack", state,
+                last_epoch - 1)
         with open(out_dir / "loss_history.json", "w") as f:
             json.dump(self.history, f, indent=2)
         save_loss_plots(self.history, out_dir / "loss_plots.png")

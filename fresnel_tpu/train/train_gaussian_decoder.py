@@ -26,6 +26,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=4)
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr_schedule", default="cosine",
+                   choices=["cosine", "constant"])
     p.add_argument("--lpips_weight", type=float, default=0.1)
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--feature_dim", type=int, default=384,
@@ -33,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_depth_fusion", action="store_true")
     p.add_argument("--depth_feature_dim", type=int, default=64)
     p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--stop_epoch", type=int, default=None,
+                   help="Run only up to this epoch (exclusive) and save a\n                        resume checkpoint — segmented long runs")
     p.add_argument("--gaussians_per_patch", type=int, default=4)
     p.add_argument("--n_spiral_points", type=int, default=377)
     p.add_argument("--use_tensegrity_loss", action="store_true")
@@ -164,6 +168,7 @@ def configs_from_args(args):
         epochs=args.epochs,
         batch_size=args.batch_size,
         lr=args.lr,
+        lr_schedule=args.lr_schedule,
         lpips_weight=args.lpips_weight,
         image_size=args.image_size,
         feature_dim=args.feature_dim,
@@ -301,7 +306,8 @@ def main(argv=None):
         print(f"resumed from {args.resume} (epoch {epoch}; "
               f"continuing at {start_epoch})")
 
-    trainer.fit(dataset, state=state, mesh=mesh, start_epoch=start_epoch)
+    trainer.fit(dataset, state=state, mesh=mesh,
+                start_epoch=start_epoch, stop_epoch=args.stop_epoch)
     print("training complete")
 
 
