@@ -60,6 +60,61 @@ class TestTrainer:
         hist = json.loads((tmp_path / "loss_history.json").read_text())
         assert "rgb" in hist
 
+    def test_segmented_fit_resumes_schedule(self, tiny_dataset, tmp_path):
+        """start_epoch/stop_epoch segments (T-026 OOM workaround): two
+        segments must cover exactly the full epoch range, write a resume
+        checkpoint at the boundary, and end with final_model."""
+        cfg = tiny_config(tmp_path, epochs=4)
+        hcfg = HFGSConfig(use_phase_retrieval_loss=False,
+                          use_frequency_loss=False,
+                          learnable_wavelengths=False)
+        trainer = Trainer(cfg, PhysicsConfig(), hcfg, HFTSConfig())
+        state = trainer.fit(tiny_dataset, stop_epoch=2)
+        assert len(trainer.history["total"]) == 2
+        assert (tmp_path / "checkpoint_epoch2.msgpack").exists()
+        assert not (tmp_path / "final_model.msgpack").exists()
+
+        trainer2 = Trainer(cfg, PhysicsConfig(), hcfg, HFTSConfig())
+        batch = next(iter(tiny_dataset.batches(2, np.random.default_rng(0))))
+        state2, ep = trainer2.load_checkpoint(
+            str(tmp_path / "checkpoint_epoch2.msgpack"), batch)
+        trainer2.fit(tiny_dataset, state=state2, start_epoch=ep + 1)
+        assert len(trainer2.history["total"]) == 2      # epochs 2..3 only
+        assert (tmp_path / "final_model.msgpack").exists()
+
+    def test_distill_inits_depth_offset_at_teacher_mean(self, tiny_dataset,
+                                                        tmp_path):
+        """T-027: Adam cannot walk the global depth_offset scalar to the
+        teacher consensus; fit() must start it there when distilling."""
+        ds = tiny_dataset
+        g = ds._samples[0].features.shape[0]
+        rng = np.random.default_rng(0)
+        for s in ds._samples:
+            s.teacher_raw = rng.standard_normal(
+                (g, g, 1, 16)).astype(np.float32) * 0.1
+            s.teacher_do = np.float32(-0.5)
+        cfg = tiny_config(tmp_path, epochs=1, distill_weight=1.0)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        logs = []
+        trainer.fit(ds, log_fn=logs.append)
+        assert any("depth_offset initialized at teacher mean -0.5" in m
+                   for m in logs)
+
+    def test_constant_lr_schedule_flag(self, tiny_dataset, tmp_path):
+        import optax
+
+        cfg = tiny_config(tmp_path, epochs=1, lr_schedule="constant",
+                          lr=3e-3)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        trainer._make_optimizer(100)
+        # A constant schedule is a bare float; cosine would be callable.
+        trainer.fit(tiny_dataset)
+        assert np.isfinite(trainer.history["total"][0])
+
     def test_checkpoint_roundtrip(self, tiny_dataset, tmp_path):
         cfg = tiny_config(tmp_path)
         trainer = Trainer(cfg, PhysicsConfig(),
