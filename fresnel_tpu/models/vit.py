@@ -40,6 +40,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 import numpy as np
 
+# Matches the reference's exported DINOv2 processor byte-for-byte
+# (reference: models/dinov2_small_processor/preprocessor_config.json —
+# image_mean/image_std/rescale 1/255).
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
