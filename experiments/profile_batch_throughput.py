@@ -15,16 +15,17 @@ import argparse
 import time
 
 
-def bench(fn, args_list, iters=3):
+def bench(fn, args_list, warm):
+    """Times each args entry exactly ONCE — the axon runtime caches
+    repeated identical executions, so re-running the same inputs (the
+    previous iters loop) reports fake sub-real latencies."""
     import jax
 
+    jax.block_until_ready(fn(*warm))
+    t0 = time.perf_counter()
     for a in args_list:
         jax.block_until_ready(fn(*a))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        for a in args_list:
-            jax.block_until_ready(fn(*a))
-    return (time.perf_counter() - t0) / (iters * len(args_list))
+    return (time.perf_counter() - t0) / len(args_list)
 
 
 def main():
@@ -67,8 +68,8 @@ def main():
                 pp, ss, rr, cc, oo, cam, config=cfg))(p, s, r, c, o)
 
         for B in (1, 4, 8):
-            batches = [stacked(B, 100 * B + 10 * k) for k in range(3)]
-            dt = bench(rb, batches)
+            batches = [stacked(B, 100 * B + 10 * k) for k in range(1, 7)]
+            dt = bench(rb, batches, warm=stacked(B, 9000 + B))
             per_img = dt / B * 1e3
             results[(backend, B)] = per_img
             print(f"  {backend:6s} B={B}: {dt * 1e3:7.1f} ms/batch "

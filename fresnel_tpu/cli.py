@@ -359,15 +359,19 @@ def cmd_eval(args) -> int:
         })
         if args.max_images and len(samples) >= args.max_images:
             break
+    # The eval cap defaults to the CHECKPOINT's training cap — a decoder
+    # must be scored under the compositing it was trained with.
+    mpt = args.max_per_tile or cfg.max_per_tile
     results = evaluate_novel_views(samples, render_size=args.size,
-                                   output_json=args.output_json)
+                                   output_json=args.output_json,
+                                   max_per_tile=mpt)
     print(json.dumps(results, indent=2))
 
     if getattr(args, "save_grid", None):
         # Qualitative grid: rows = scenes, columns = [render | target].
         from fresnel_tpu.evaluation.visual_eval import VisualEvaluator
 
-        ev = VisualEvaluator(render_size=args.size)
+        ev = VisualEvaluator(render_size=args.size, max_per_tile=mpt)
         rows = []
         for s in samples[:8]:
             img = np.asarray(ev.render(s["gaussians"]))
@@ -461,6 +465,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_grid", default=None, metavar="OUT.png",
                    help="save a qualitative grid (render | target rows) "
                         "for the first scenes")
+    p.add_argument("--max_per_tile", type=int, default=None,
+                   help="eval-render capacity (default: the checkpoint's "
+                        "training cap — score under the compositing the "
+                        "decoder was trained with)")
     return parser
 
 

@@ -47,6 +47,7 @@ def evaluate_novel_views(
     render_size: int = 256,
     azimuths_deg: Sequence[float] = DEFAULT_AZIMUTHS_DEG,
     output_json: Optional[str] = None,
+    max_per_tile: int = 256,
 ) -> Dict:
     """Returns {"per_view": {az: {...}}, "frontal_ssim", "view_consistency"}."""
     per_view: Dict[str, List[float]] = {str(az): [] for az in azimuths_deg}
@@ -54,7 +55,8 @@ def evaluate_novel_views(
     coverage_matrix = []                 # (samples, views)
 
     for s in samples:
-        views = render_views(s["gaussians"], render_size, azimuths_deg)
+        views = render_views(s["gaussians"], render_size, azimuths_deg,
+                             max_per_tile=max_per_tile)
         coverages = [float(jnp.mean((jnp.mean(v, 0) > 0.01).astype(jnp.float32)))
                      for v in views]
         coverage_matrix.append(coverages)

@@ -22,6 +22,11 @@ class TrainingConfig:
     epochs: int = 100
     lr: float = 1e-4
     lr_schedule: str = "cosine"   # "cosine" (reference default) | "constant"
+    # Start the global depth_offset scalar here (None = the reference's
+    # -2.0 init).  Adam moves a lone scalar ~lr/step, so a badly placed
+    # init is effectively frozen for a whole run (T-027); the teacher
+    # consensus on the corpus is ~-0.13.
+    depth_offset_init: "float | None" = None
     weight_decay: float = 1e-5
     image_size: int = 256
     feature_size: int = 37

@@ -122,6 +122,8 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
               max_per_tile: int = 1024,
               step_fn_cache: Optional[dict] = None,
               experiment: int = 2,
+              freeze_geometry: bool = False,
+              geometry_prox: float = 0.0,
               ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
     """Fit raw head values (+ depth_offset unless fixed) to one scene by
     Adam through the experiment's head transform + the tiled rasterizer.
@@ -131,6 +133,14 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
     spiral point count N, K the gaussians per point).  Returns (teacher
     dict for npz, metrics dict).  Pass a shared `step_fn_cache` dict
     across scenes to reuse the compiled step.
+
+    freeze_geometry pins XY offsets (ch 0:3) and 6D rotations (ch 6:12)
+    at their surface init — an IDENTIFIABLE teacher: free fits are
+    non-unique per scene (any raw config rendering the image is a valid
+    optimum), so their raws are not a function of local appearance and a
+    feedforward decoder regressing them can only learn the conditional
+    mean (T-028).  Pinning the geometric channels makes the remaining
+    scale/color/opacity targets appearance-determined.
     """
     import jax
     import jax.numpy as jnp
@@ -166,10 +176,18 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
     cache_key = (experiment, steps, lr, grid, K, res,
                  None if fixed_depth_offset is None
                  else float(fixed_depth_offset),
-                 tuple(sorted(hk.items())), max_per_tile)
+                 tuple(sorted(hk.items())), max_per_tile, freeze_geometry,
+                 float(geometry_prox))
 
     if step_fn_cache is None or cache_key not in step_fn_cache:
         opt = optax.adam(lr)
+        geo_mask = jnp.zeros((OPG,), bool).at[0:3].set(True).at[6:12].set(
+            True)
+        # The geometric channels of the surface init (sub-grid XY offsets,
+        # identity 6D rotations) are SCENE-INDEPENDENT, so closing over
+        # the masked init is safe across the shared step cache (the
+        # scene-dependent color/opacity channels are masked out).
+        raw0_geo = jnp.asarray(raw0) * geo_mask
 
         def render(p, d):
             fixed = -2.0 if fixed_depth_offset is None else fixed_depth_offset
@@ -181,12 +199,22 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
 
         def loss_fn(p, d, t):
             img = render(p, d)
-            return (jnp.mean(jnp.abs(img - t))
+            loss = (jnp.mean(jnp.abs(img - t))
                     + 0.5 * (1.0 - ssim(img[None], t[None])))
+            if geometry_prox > 0:
+                # Proximal geometry: keep the (otherwise non-identifiable)
+                # XY offsets and rotations near their deterministic surface
+                # init, so the teacher stays a smooth function of the
+                # scene (T-028) while sub-pixel alignment is still allowed.
+                dgeo = p["raw"] * geo_mask - raw0_geo
+                loss = loss + geometry_prox * jnp.mean(dgeo * dgeo)
+            return loss
 
         @jax.jit
         def step(p, o, d, t):
             l, g = jax.value_and_grad(loss_fn)(p, d, t)
+            if freeze_geometry:
+                g = dict(g, raw=jnp.where(geo_mask, 0.0, g["raw"]))
             up, o = opt.update(g, o, p)
             return optax.apply_updates(p, up), o, l
 
@@ -232,6 +260,10 @@ def main():
     ap.add_argument("--K", type=int, default=None,
                     help="gaussians per patch (exp 2, default 4) or per "
                          "point (exp 4, default 1)")
+    ap.add_argument("--geometry_prox", type=float, default=0.0,
+                    help="L2 pull of XY-offset/rotation channels toward "
+                         "the deterministic surface init — identifiable "
+                         "teachers (T-028); 1.0 costs ~0.01 SSIM vs free")
     ap.add_argument("--fixed_do", type=float, default=None,
                     help="Freeze depth_offset at this value (default: fit "
                          "a free per-scene scalar and report the spread)")
@@ -265,7 +297,8 @@ def main():
             steps=args.steps, lr=args.lr, grid=grid,
             K=K, res=args.res, fixed_depth_offset=args.fixed_do,
             head_kwargs=hk, step_fn_cache=cache,
-            experiment=args.experiment)
+            experiment=args.experiment,
+            geometry_prox=args.geometry_prox)
         dos.append(float(teacher["depth_offset"]))
         ssims.append(m["ssim"])
         psnrs.append(m["psnr"])

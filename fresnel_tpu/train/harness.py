@@ -496,7 +496,12 @@ class Trainer:
         self._depth_side = int(first["depth"].shape[-1])
         if state is None:
             state = self.init_state(first)
-            if cfg.distill_weight > 0 and "teacher_do" in first:
+            if getattr(cfg, "depth_offset_init", None) is not None:
+                state["params"]["model"]["params"]["depth_offset"] = (
+                    jnp.asarray(float(cfg.depth_offset_init), jnp.float32))
+                log_fn(f"depth_offset initialized at "
+                       f"{cfg.depth_offset_init:.3f}")
+            elif cfg.distill_weight > 0 and "teacher_do" in first:
                 # Adam moves a scalar ~lr per step, so the global
                 # depth_offset (init -2.0) cannot traverse to the teacher
                 # consensus (~-0.13) within a run — and a wrong offset

@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr_schedule", default="cosine",
                    choices=["cosine", "constant"])
+    p.add_argument("--depth_offset_init", type=float, default=None,
+                   help="Start the global depth_offset scalar here "
+                        "(default: reference -2.0; T-027: Adam "
+                        "cannot move a scalar far, so place it)")
     p.add_argument("--lpips_weight", type=float, default=0.1)
     p.add_argument("--image_size", type=int, default=256)
     p.add_argument("--feature_dim", type=int, default=384,
@@ -169,6 +173,7 @@ def configs_from_args(args):
         batch_size=args.batch_size,
         lr=args.lr,
         lr_schedule=args.lr_schedule,
+        depth_offset_init=args.depth_offset_init,
         lpips_weight=args.lpips_weight,
         image_size=args.image_size,
         feature_dim=args.feature_dim,
