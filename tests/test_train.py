@@ -102,6 +102,15 @@ class TestTrainer:
         assert any("depth_offset initialized at teacher mean -0.5" in m
                    for m in logs)
 
+    def test_explicit_depth_offset_init(self, tiny_dataset, tmp_path):
+        cfg = tiny_config(tmp_path, epochs=1, depth_offset_init=-0.25)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        logs = []
+        state = trainer.fit(tiny_dataset, log_fn=logs.append)
+        assert any("depth_offset initialized at -0.250" in m for m in logs)
+
     def test_constant_lr_schedule_flag(self, tiny_dataset, tmp_path):
         import optax
 
