@@ -114,9 +114,22 @@ class TeacherMultiviewDataset:
                  image_size: int = 256, views_per_scene: int = 4,
                  max_scenes: Optional[int] = None, seed: int = 0,
                  el_range=(-0.15, 0.3), az_range=(-0.4, 0.4),
-                 feature_dim: int = 384):
+                 feature_dim: int = 384, cache: Optional[str] = None):
         import jax
         import jax.numpy as jnp
+
+        # Disk cache: segmented runs (execution-cache RAM leak, T-026)
+        # restart the process per segment; rebuilding ~10 min of orbit
+        # renders each time would dominate.
+        if cache and Path(cache).exists():
+            with np.load(cache) as z:
+                keys = ("input_image", "features", "R_rel", "t_rel",
+                        "target_image", "target_depth")
+                n = z["input_image"].shape[0]
+                self._samples = [
+                    {k: z[k][i] for k in keys} for i in range(n)]
+            self.image_size = image_size
+            return
         from fresnel_tpu.core.camera import Camera
         from fresnel_tpu.models.decoders import head_transform
         from fresnel_tpu.models.encoders import create_feature_extractor
@@ -184,6 +197,11 @@ class TeacherMultiviewDataset:
                     "target_image": views[i],
                     "target_depth": depths[i],
                 })
+
+        if cache:
+            keys = self._samples[0].keys()
+            np.savez(cache, **{k: np.stack([s[k] for s in self._samples])
+                               for k in keys})
 
     def __len__(self):
         return len(self._samples)
@@ -454,6 +472,9 @@ def main(argv=None):
                         "of the synthetic bootstrap clouds")
     p.add_argument("--views_per_scene", type=int, default=4)
     p.add_argument("--max_scenes", type=int, default=None)
+    p.add_argument("--dataset_cache", default=None,
+                   help="npz path to save/load the built multiview pairs "
+                        "(segmented runs rebuild the process)")
     p.add_argument("--use_quality_aware", action="store_true")
     p.add_argument("--use_amp", action="store_true",
                    help="bf16 U-Net compute (fp32 master weights)")
@@ -474,7 +495,8 @@ def main(argv=None):
         dataset = TeacherMultiviewDataset(
             args.data_dir, image_size=cfg.image_size,
             views_per_scene=args.views_per_scene,
-            max_scenes=args.max_scenes, seed=cfg.seed)
+            max_scenes=args.max_scenes, seed=cfg.seed,
+            cache=args.dataset_cache)
     else:
         dataset = GaussianBootstrapDataset(
             n_scenes=args.n_scenes, image_size=cfg.image_size, seed=cfg.seed)

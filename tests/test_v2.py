@@ -245,9 +245,15 @@ class TestTeacherMultiviewDataset:
             np.savez(tmp_path / f"{name}_teacher.npz", raw=raw[0],
                      depth_offset=np.float32(-2.0))
 
+        cache = str(tmp_path / "mv_cache.npz")
         ds = TeacherMultiviewDataset(str(tmp_path), image_size=S,
-                                     views_per_scene=3, seed=1)
+                                     views_per_scene=3, seed=1, cache=cache)
         assert len(ds) == 4                      # 2 scenes x 2 targets
+        ds_cached = TeacherMultiviewDataset(str(tmp_path), image_size=S,
+                                            cache=cache)
+        assert len(ds_cached) == 4
+        np.testing.assert_array_equal(ds_cached._samples[0]["target_image"],
+                                      ds._samples[0]["target_image"])
         b = next(iter(ds.batches(2, np.random.default_rng(0))))
         assert b["input_image"].shape == (2, 3, S, S)
         assert b["target_image"].shape == (2, 3, S, S)
