@@ -386,7 +386,8 @@ class CVSTrainer:
         return jax.jit(step)
 
     def fit(self, dataset, epochs: Optional[int] = None, state=None,
-            log_fn=print, start_epoch: int = 0):
+            log_fn=print, start_epoch: int = 0,
+            stop_epoch: Optional[int] = None):
         """start_epoch continues the consistency-ramp schedule mid-run —
         long trainings must be split into resumed segments because the
         axon tunnel's execution cache leaks ~input-size host RAM/step."""
@@ -405,7 +406,8 @@ class CVSTrainer:
 
         out_dir = Path(cfg.output_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
-        for epoch in range(start_epoch, epochs):
+        last_epoch = epochs if stop_epoch is None else min(stop_epoch, epochs)
+        for epoch in range(start_epoch, last_epoch):
             # Progressive consistency-weight ramp (staircase schedule when
             # quality-aware training is on, reference parity).
             if cfg.use_quality_aware:
@@ -432,7 +434,12 @@ class CVSTrainer:
                    f"({time.perf_counter() - t0:.1f}s)")
             if (epoch + 1) % cfg.save_interval == 0:
                 self.save_checkpoint(out_dir / "cvs.msgpack", state, epoch)
-        self.save_checkpoint(out_dir / "cvs_final.msgpack", state, epochs - 1)
+        if last_epoch >= epochs:
+            self.save_checkpoint(out_dir / "cvs_final.msgpack", state,
+                                 epochs - 1)
+        else:      # segment boundary: guarantee a resume point
+            self.save_checkpoint(out_dir / "cvs.msgpack", state,
+                                 last_epoch - 1)
         (out_dir / "loss_history.json").write_text(json.dumps(self.history))
         return state
 
@@ -483,6 +490,9 @@ def main(argv=None):
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint to continue from (epoch schedule "
                         "resumes after the saved epoch)")
+    p.add_argument("--stop_epoch", type=int, default=None,
+                   help="run only up to this epoch (exclusive) — "
+                        "segmented long runs (T-026 RAM leak)")
     args = p.parse_args(argv)
 
     cfg = CVSTrainConfig(
@@ -514,7 +524,8 @@ def main(argv=None):
         meta = json.loads(Path(args.resume + ".json").read_text())
         start_epoch = meta.get("epoch", -1) + 1
         print(f"resumed from {args.resume} (continuing at {start_epoch})")
-    trainer.fit(dataset, state=state, start_epoch=start_epoch)
+    trainer.fit(dataset, state=state, start_epoch=start_epoch,
+                stop_epoch=args.stop_epoch)
     print("cvs training complete")
 
 
