@@ -56,14 +56,19 @@ def main():
 
     inputs = [make(s) for s in range(args.iters + 1)]
 
+    def sink(out):
+        # block_until_ready on the axon backend returns before the freshly
+        # dispatched execution completes (it lags one call behind); forcing
+        # a SCALAR host read is the only reliable completion barrier.
+        arr = out[0] if isinstance(out, tuple) else out
+        return float(jnp.sum(arr.astype(jnp.float32)))
+
     def timed(name, fn):
-        out = fn(inputs[-1])      # compile on the holdout
-        (out[0] if isinstance(out, tuple) else out).block_until_ready()
+        sink(fn(inputs[-1]))      # compile on the holdout
         times = []
         for a in inputs[:-1]:
             t0 = time.perf_counter()
-            out = fn(a)
-            (out[0] if isinstance(out, tuple) else out).block_until_ready()
+            sink(fn(a))
             times.append(round((time.perf_counter() - t0) * 1e3, 1))
         med = sorted(times)[len(times) // 2]
         print(f"  {name:28s} median {med:7.1f} ms  {times}")
