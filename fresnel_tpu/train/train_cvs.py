@@ -125,9 +125,13 @@ class TeacherMultiviewDataset:
             with np.load(cache) as z:
                 keys = ("input_image", "features", "R_rel", "t_rel",
                         "target_image", "target_depth")
-                n = z["input_image"].shape[0]
-                self._samples = [
-                    {k: z[k][i] for k in keys} for i in range(n)]
+                # Materialize each archive member ONCE — indexing the
+                # NpzFile re-extracts the whole array per access, which
+                # turns this loop into thousands of full-file reads.
+                arrs = {k: z[k] for k in keys}
+            n = arrs["input_image"].shape[0]
+            self._samples = [
+                {k: arrs[k][i] for k in keys} for i in range(n)]
             self.image_size = image_size
             return
         from fresnel_tpu.core.camera import Camera
