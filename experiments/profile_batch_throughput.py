@@ -18,13 +18,19 @@ import time
 def bench(fn, args_list, warm):
     """Times each args entry exactly ONCE — the axon runtime caches
     repeated identical executions, so re-running the same inputs (the
-    previous iters loop) reports fake sub-real latencies."""
+    previous iters loop) reports fake sub-real latencies.  The loop ends
+    with a SCALAR host read: axon block_until_ready lags one execution
+    (T-031), so without it the last dispatch is untimed (~1/K error)."""
     import jax
+    import jax.numpy as jnp
 
     jax.block_until_ready(fn(*warm))
     t0 = time.perf_counter()
+    out = None
     for a in args_list:
-        jax.block_until_ready(fn(*a))
+        out = fn(*a)
+        jax.block_until_ready(out)
+    float(jnp.sum(jax.tree.leaves(out)[0]))
     return (time.perf_counter() - t0) / len(args_list)
 
 
