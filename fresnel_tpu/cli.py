@@ -187,11 +187,22 @@ def cmd_infer(args) -> int:
                 trainer = Trainer(cfg, PhysicsConfig(**meta["physics_config"]),
                                   HFGSConfig(**meta["hfgs_config"]),
                                   HFTSConfig(**meta["hfts_config"]))
+                img256 = jax.image.resize(
+                    jnp.asarray(image), (256, 256, 3), "linear")
+                img_nchw = np.asarray(
+                    jnp.transpose(img256, (2, 0, 1)))[None]
                 batch = {"features": np.asarray(feats),
-                         "depth": np.asarray(depth)[None]}
+                         "depth": np.asarray(depth)[None],
+                         "image": img_nchw}
                 state, _ = trainer.load_checkpoint(args.checkpoint, batch)
                 model = trainer.model
                 params = state["params"]["model"]
+                if getattr(cfg, "train_encoder", False):
+                    # e2e checkpoints carry their own encoder — its
+                    # features, not the extractor's, are the model input.
+                    feats = trainer.encode(state["params"], img_nchw)
+                    print("feature extractor: jointly-trained encoder "
+                          "(from checkpoint)")
             else:
                 print("checkpoint meta json missing; cannot reconstruct model",
                       file=sys.stderr)
@@ -348,7 +359,10 @@ def cmd_eval(args) -> int:
 
     samples = []
     for batch in ds.batches(1, rng, shuffle=False):
-        feats = jnp.asarray(batch["features"])
+        if getattr(cfg, "train_encoder", False):
+            feats = trainer.encode(state["params"], batch["image"])
+        else:
+            feats = jnp.asarray(batch["features"])
         depth = jnp.asarray(batch["depth"])
         out = trainer.model.apply(state["params"]["model"], feats, depth)
         samples.append({

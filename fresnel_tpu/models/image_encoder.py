@@ -1,0 +1,111 @@
+"""Trainable image encoder — the end-to-end replacement for frozen DINOv2.
+
+The reference conditions its decoders on FROZEN pretrained DINOv2 patch
+features (reference: scripts/preprocessing/preprocess_training_data.py:214-232
+caches (37, 37, C) grids; scripts/inference/dinov2_inference.py runs the
+ONNX export).  This environment has zero egress, so no pretrained weights
+exist; rounds 1-3 trained against deterministic patch-statistic fallback
+features with no semantic content, which T-015/T-030 identified as a
+first-order cap on reconstruction quality (achieved SSIM 0.70 vs a 0.992
+representation ceiling).
+
+This module is the capability the reference never needed: a compact
+hybrid conv/attention encoder trained END TO END with the decoder on the
+render loss (`--train_encoder`).  It keeps the exact DINOv2 feature
+contract — input (B, 3, H, W) in [0, 1], output (B, 37, 37, feature_dim)
+NHWC — so every decoder, cache layout, and CLI downstream is unchanged;
+checkpoints carry the encoder params and `fresnel eval`/`infer` run it in
+place of the cached/procedural extractor.
+
+TPU-first design notes:
+  * all convs NHWC at bf16-friendly widths (multiples of 64 keep the MXU
+    tiles full under `--use_amp`);
+  * the input is resized to 8x the grid (296 = 37 x 8) so three stride-2
+    stages land exactly on 37x37 — no fractional pooling, static shapes;
+  * global context comes from 2 post-conv transformer blocks over the
+    1369-token grid (the MXU-shaped replacement for DINOv2's receptive
+    field) with a learned 37x37 positional embedding;
+  * GroupNorm everywhere (batch-size independent, no state), LayerNorm
+    on the output to match the DINOv2 feature distribution contract.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class _ResBlock(nn.Module):
+    """Pre-norm 3x3 conv residual block (NHWC)."""
+    width: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = nn.GroupNorm(num_groups=min(32, self.width))(x)
+        h = nn.gelu(h)
+        h = nn.Conv(self.width, (3, 3))(h)
+        h = nn.GroupNorm(num_groups=min(32, self.width))(h)
+        h = nn.gelu(h)
+        h = nn.Conv(self.width, (3, 3))(h)
+        return x + h
+
+
+class _AttnBlock(nn.Module):
+    """Pre-norm transformer block over the flattened patch grid."""
+    dim: int
+    heads: int = 6
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        heads = self.heads
+        while self.dim % heads:      # largest divisor <= requested
+            heads -= 1
+        h = nn.LayerNorm()(x)
+        h = nn.MultiHeadDotProductAttention(num_heads=heads)(h, h)
+        x = x + h
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim * 4)(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim)(h)
+        return x + h
+
+
+class ImageEncoder(nn.Module):
+    """(B, 3, H, W) image in [0, 1] -> (B, grid, grid, feature_dim) NHWC."""
+    feature_dim: int = 384
+    grid: int = 37
+    width: int = 64
+    n_attn_blocks: int = 2
+
+    @nn.compact
+    def __call__(self, image: jax.Array,
+                 deterministic: bool = True) -> jax.Array:
+        B = image.shape[0]
+        side = self.grid * 8
+        x = jnp.transpose(image, (0, 2, 3, 1))            # NCHW -> NHWC
+        if x.shape[1] != side or x.shape[2] != side:
+            x = jax.image.resize(x, (B, side, side, x.shape[-1]), "linear")
+        x = x * 2.0 - 1.0
+
+        w = self.width
+        x = nn.Conv(w, (5, 5), strides=(2, 2))(x)          # 296 -> 148
+        x = _ResBlock(w)(x)
+        x = nn.Conv(2 * w, (3, 3), strides=(2, 2))(x)      # 148 -> 74
+        x = _ResBlock(2 * w)(x)
+        x = _ResBlock(2 * w)(x)
+        x = nn.Conv(4 * w, (3, 3), strides=(2, 2))(x)      # 74 -> 37
+        x = _ResBlock(4 * w)(x)
+        x = _ResBlock(4 * w)(x)
+
+        x = nn.Dense(self.feature_dim)(x)                  # -> (B,37,37,C)
+        pos = self.param(
+            "pos_embed", nn.initializers.normal(0.02),
+            (1, self.grid, self.grid, self.feature_dim))
+        x = x + pos
+
+        tokens = x.reshape(B, self.grid * self.grid, self.feature_dim)
+        for _ in range(self.n_attn_blocks):
+            tokens = _AttnBlock(self.feature_dim)(tokens)
+        tokens = nn.LayerNorm()(tokens)
+        return tokens.reshape(B, self.grid, self.grid, self.feature_dim)

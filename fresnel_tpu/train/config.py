@@ -111,6 +111,17 @@ class TrainingConfig:
     # Linearly decay the distill term to 0 over this many epochs so render
     # loss takes over (0 = constant weight).
     distill_decay_epochs: int = 0
+    # End-to-end trainable image encoder (TPU-native addition).  The
+    # reference conditions decoders on FROZEN pretrained DINOv2 features
+    # (scripts/preprocessing/preprocess_training_data.py:214-232); with no
+    # pretrained weights obtainable here, the fallback features carry no
+    # semantic content and cap quality (T-015/T-030).  When True, a compact
+    # conv+attention encoder (models/image_encoder.py) maps the batch image
+    # to the same (37, 37, feature_dim) grid and trains jointly on the
+    # render loss; checkpoints carry its params and eval/infer run it in
+    # place of the cached/procedural extractor.
+    train_encoder: bool = False
+    encoder_width: int = 64
     # Decoder head-init biases (0.0 = exact reference head behavior).
     # --surface_init sets (-2.6, 1.5): outputs START at surface-like params
     # (sigma ~= patch pitch, opacity ~0.8) — the basin the T-023 direct fit

@@ -179,6 +179,12 @@ class Trainer:
     def __post_init__(self):
         cfg = self.config
         self.model = build_decoder(cfg, self.physics_config)
+        self.encoder = None
+        if getattr(cfg, "train_encoder", False):
+            from fresnel_tpu.models.image_encoder import ImageEncoder
+            self.encoder = ImageEncoder(feature_dim=cfg.feature_dim,
+                                        grid=cfg.feature_size,
+                                        width=cfg.encoder_width)
         self.renderer = select_training_renderer(
             cfg, self.physics_config, self.hfgs_config)
         self.train_res = self.hfts_config.get_effective_train_resolution(
@@ -208,9 +214,20 @@ class Trainer:
     def init_state(self, sample_batch: Dict[str, np.ndarray],
                    rng: Optional[jax.Array] = None) -> Dict[str, Any]:
         rng = jax.random.PRNGKey(self.config.seed) if rng is None else rng
-        feats = jnp.asarray(sample_batch["features"][:1])
         depth = jnp.asarray(sample_batch["depth"][:1])
         el = az = jnp.zeros((1,))
+        enc_params = None
+        if self.encoder is not None:
+            rng, rng_enc = jax.random.split(rng)
+            img = sample_batch.get("image")
+            if img is None:      # infer-time template without an image
+                img = np.zeros((1, 3, self.config.image_size,
+                                self.config.image_size), np.float32)
+            img = jnp.asarray(img[:1])
+            enc_params = self.encoder.init(rng_enc, img)
+            feats = self.encoder.apply(enc_params, img)
+        else:
+            feats = jnp.asarray(sample_batch["features"][:1])
         if self.config.experiment == 1:
             saag = saag_prior_from_depth(depth)
             model_params = self.model.init(rng, feats, **saag)
@@ -223,6 +240,8 @@ class Trainer:
                 kwargs = dict(elevation=el, azimuth=az)
             model_params = self.model.init(rng, feats, depth, **kwargs)
         params = {"model": model_params}
+        if enc_params is not None:
+            params["encoder"] = enc_params
         if self.hfgs_config.learnable_wavelengths:
             params["wavelengths_raw"] = init_learnable_wavelengths()
         opt_state = self.optimizer.init(params)
@@ -271,10 +290,20 @@ class Trainer:
                 ovf = jnp.zeros((4,), jnp.int32)
             return img, dep, ovf
 
+        encoder = self.encoder
+
         def loss_fn(params, batch, rng):
-            feats = batch["features"]
             depth = batch["depth"]
             target = batch["image"]
+            if encoder is not None:
+                # End-to-end: features come from the trainable encoder on
+                # the batch image (bf16 under --use_amp like the decoder);
+                # gradients flow through the whole image->Gaussians program.
+                from fresnel_tpu.utils.precision import amp_apply
+                feats = amp_apply(encoder.apply, params["encoder"], target,
+                                  use_amp=cfg.use_amp)
+            else:
+                feats = batch["features"]
             B = feats.shape[0]
             if target.shape[-1] != res:
                 target = jax.image.resize(target, (B, 3, res, res), "linear")
@@ -589,6 +618,16 @@ class Trainer:
             side = getattr(self, "_depth_side", 256)
             return (side // SAAG_SUBSAMPLE) ** 2  # SAAG prior point count
         return self.config.feature_size ** 2 * K
+
+    # ------------------------------------------------------------------
+    def encode(self, params: Dict, images) -> jax.Array:
+        """Run the jointly-trained encoder (train_encoder checkpoints) on
+        (B, 3, H, W) images in [0, 1] -> (B, 37, 37, C) features — the
+        eval/infer replacement for cached extractor features."""
+        if self.encoder is None:
+            raise ValueError("this Trainer/checkpoint has no trained "
+                             "encoder (config.train_encoder is False)")
+        return self.encoder.apply(params["encoder"], jnp.asarray(images))
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, path, state, epoch: int):

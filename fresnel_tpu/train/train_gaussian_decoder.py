@@ -139,6 +139,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--distill_decay_epochs", type=int, default=0,
                    help="Linearly decay the distill term to 0 over this "
                         "many epochs (0 = constant)")
+    p.add_argument("--train_encoder", action="store_true",
+                   help="Train a compact image encoder end-to-end with the "
+                        "decoder instead of consuming frozen/cached "
+                        "features (the no-pretrained-weights answer to "
+                        "DINOv2; models/image_encoder.py)")
+    p.add_argument("--encoder_width", type=int, default=64,
+                   help="Base conv width of the trainable encoder")
     p.add_argument("--lpips_weights", type=str, default=None,
                    help="Path to LPIPS weights (.npz or torch ckpt); absent "
                         "-> LPIPS term disabled like the reference's "
@@ -207,6 +214,8 @@ def configs_from_args(args):
         num_devices=args.num_devices,
         seed=args.seed,
         use_amp=args.use_amp,
+        train_encoder=args.train_encoder,
+        encoder_width=args.encoder_width,
         max_per_tile=args.max_per_tile,
         scale_bias=args.scale_bias,
         opacity_bias=args.opacity_bias,
