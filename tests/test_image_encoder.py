@@ -98,6 +98,31 @@ class TestEndToEndTraining:
         state = trainer.init_state(batch)
         assert "encoder" in state["params"]
 
+    def test_eval_cli_uses_trained_encoder(self, tmp_path):
+        """`fresnel eval` on a --train_encoder checkpoint must source
+        features from the checkpoint's own encoder (cli.py cmd_eval)."""
+        from fresnel_tpu.cli import main as cli_main
+        from fresnel_tpu.data.synthetic_corpus import generate_corpus
+        import json
+
+        data_dir = tmp_path / "corpus"
+        generate_corpus(str(data_dir), n_images=2, image_size=64, seed=3)
+        ds_dir = str(data_dir)
+
+        from fresnel_tpu.data.dataset import ImageDataset
+        ds = ImageDataset(ds_dir, image_size=32, use_augmentation=False)
+        cfg = e2e_config(tmp_path, epochs=1, batch_size=2)
+        trainer = Trainer(cfg, PhysicsConfig(), HCFG, HFTSConfig())
+        trainer.fit(ds)
+
+        out_json = tmp_path / "eval.json"
+        rc = cli_main(["eval", str(tmp_path / "final_model.msgpack"),
+                       "--data_dir", ds_dir, "--size", "32",
+                       "--output_json", str(out_json)])
+        assert rc == 0
+        res = json.loads(out_json.read_text())
+        assert np.isfinite(res["frontal_ssim"])
+
     def test_encode_raises_without_encoder(self, tmp_path):
         cfg = e2e_config(tmp_path, train_encoder=False)
         trainer = Trainer(cfg, PhysicsConfig(), HCFG, HFTSConfig())

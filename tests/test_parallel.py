@@ -104,6 +104,56 @@ class TestPixelShardedRender:
                                  cloud.opacities, cam, mesh4)
 
 
+class TestTensorParallel:
+    def test_spec_inference_rules(self):
+        from jax.sharding import PartitionSpec as P
+        from fresnel_tpu.parallel.tp import infer_leaf_spec
+
+        assert infer_leaf_spec((), 2) == P()                       # scalar
+        assert infer_leaf_spec((128,), 2) == P()                   # too small
+        assert infer_leaf_spec((4096, 2), 2, min_elems=1024) == \
+            P("model", None)                                       # largest dim
+        assert infer_leaf_spec((3, 4096), 2, min_elems=1024) == \
+            P(None, "model")
+        assert infer_leaf_spec((3, 4097), 2, min_elems=1024) == P()  # nothing divisible
+
+    def test_tp_step_matches_replicated(self):
+        """A GSPMD-partitioned grad step on a (data, model) mesh must equal
+        the single-device result — placement only, no semantic change."""
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from fresnel_tpu.parallel.mesh import get_mesh, shard_batch
+        from fresnel_tpu.parallel.tp import shard_state, sharded_fraction
+
+        rng = np.random.default_rng(0)
+        params = {
+            "w1": jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32)
+                              * 0.1),
+            "b1": jnp.zeros((256,), jnp.float32),
+            "w2": jnp.asarray(rng.normal(size=(256, 8)).astype(np.float32)
+                              * 0.1),
+        }
+        x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+
+        def loss_fn(p, x):
+            h = jnp.tanh(x @ p["w1"] + p["b1"])
+            return jnp.mean((h @ p["w2"]) ** 2)
+
+        step = jax.jit(jax.value_and_grad(loss_fn))
+        ref_loss, ref_grads = step(params, x)
+
+        mesh = get_mesh(4, axis_names=("data", "model"), shape=(2, 2))
+        tp_params = shard_state(params, mesh, min_elems=1024)
+        assert sharded_fraction(tp_params) > 0.9
+        tp_x = shard_batch({"x": x}, mesh)["x"]
+        tp_loss, tp_grads = step(tp_params, tp_x)
+
+        np.testing.assert_allclose(float(tp_loss), float(ref_loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(tp_grads["w1"]),
+                                   np.asarray(ref_grads["w1"]), atol=1e-5)
+
+
 class TestQualityAware:
     def test_quality_mask_low_at_artifacts(self):
         from fresnel_tpu.losses.quality_aware import quality_mask
