@@ -89,6 +89,25 @@ class TestEndToEndTraining:
                                cfg.feature_dim)
         assert np.all(np.isfinite(np.asarray(feats)))
 
+    def test_segmented_resume_keeps_encoder(self, tmp_path):
+        """--stop_epoch/--resume segmentation (T-026 RAM workaround) must
+        carry the encoder params across the boundary — the encoder
+        campaign (cloud/round3_queue3.sh) runs this path for hours."""
+        ds = SyntheticGaussianDataset(n_samples=4, image_size=32,
+                                      n_gaussians=40, seed=4)
+        cfg = e2e_config(tmp_path, epochs=2)
+        trainer = Trainer(cfg, PhysicsConfig(), HCFG, HFTSConfig())
+        trainer.fit(ds, stop_epoch=1)
+        ckpt = tmp_path / "checkpoint_epoch1.msgpack"
+        assert ckpt.exists()
+
+        trainer2 = Trainer(cfg, PhysicsConfig(), HCFG, HFTSConfig())
+        batch = next(iter(ds.batches(2, np.random.default_rng(0))))
+        state2, ep = trainer2.load_checkpoint(str(ckpt), batch)
+        assert "encoder" in state2["params"]
+        trainer2.fit(ds, state=state2, start_epoch=ep + 1)
+        assert (tmp_path / "final_model.msgpack").exists()
+
     def test_init_state_without_image_uses_zeros(self, tmp_path):
         """infer-time template batches may lack an image key."""
         cfg = e2e_config(tmp_path)
