@@ -31,6 +31,9 @@ def main():
     ap.add_argument("--grid", default="logs/cvs_grid.png")
     ap.add_argument("--grid_rows", type=int, default=6)
     ap.add_argument("--out_json", default="logs/eval_cvs.json")
+    ap.add_argument("--steps", type=int, default=1,
+                    help="sampler steps (reference supports 1-4; >1 = "
+                         "deterministic refinement at decreasing t)")
     args = ap.parse_args()
 
     from fresnel_tpu.utils.compile_cache import enable_compilation_cache
@@ -62,18 +65,19 @@ def main():
     print(f"loaded {args.ckpt} (epoch {meta['epoch']}, "
           f"base={cfg.base_channels}, {cfg.image_size}²)")
 
-    gen_fn = jax.jit(lambda ft, Rr, tr, rng: trainer.generate(
-        state, ft, Rr, tr, rng, num_steps=1))
+    gen_fn = jax.jit(lambda ii, ft, Rr, tr, rng: trainer.generate(
+        state, ft, Rr, tr, rng, num_steps=args.steps, input_image=ii))
 
     ssims, psnrs, gens = [], [], []
     rng = jax.random.PRNGKey(0)
     B = args.batch
     for i in range(0, n - B + 1, B):
         rng, srng = jax.random.split(rng)
+        ii = jnp.asarray(data["input_image"][i:i + B])
         ft = jnp.asarray(data["features"][i:i + B])
         Rr = jnp.asarray(data["R_rel"][i:i + B])
         tr = jnp.asarray(data["t_rel"][i:i + B])
-        gen = jnp.clip(gen_fn(ft, Rr, tr, srng), 0.0, 1.0)
+        gen = jnp.clip(gen_fn(ii, ft, Rr, tr, srng), 0.0, 1.0)
         tgt = jnp.asarray(data["target_image"][i:i + B])
         s = ssim(gen, tgt, size_average=False)
         mse = jnp.mean((gen - tgt) ** 2, axis=(1, 2, 3))
@@ -85,6 +89,7 @@ def main():
 
     result = {
         "n_pairs": len(ssims),
+        "steps": args.steps,
         "one_step_view_ssim": float(np.mean(ssims)),
         "one_step_view_psnr": float(np.mean(psnrs)),
         "ssim_p10_p90": [float(np.percentile(ssims, 10)),

@@ -45,6 +45,13 @@ class CVSConfig:
     num_timesteps: int = 1000
     ema_decay: float = 0.9999
     num_image_tokens: int = 256
+    # Concatenate the input view to the U-Net input (6 channels instead of
+    # 3).  The reference conditions ONLY through cross-attention tokens
+    # (consistency_view_synthesis.py:755-769 — input_image is unused by the
+    # net); at t≈max that conditioning is too weak and one-step generation
+    # collapses to the conditional mean (T-034).  Off by default = exact
+    # reference parity; on = the TPU rebuild's stronger conditioning arm.
+    concat_input_view: bool = False
     # Computation dtype for the U-Net / adapters (flax convention: params
     # stay float32, layers cast to `dtype` for compute).  bfloat16 here is
     # the TPU mixed-precision fast path (--use_amp).
@@ -232,8 +239,8 @@ class ConsistencyUNet(nn.Module):
     @nn.compact
     def __call__(self, x, t, image_cond, pose_cond,
                  deterministic: bool = True):
-        """x: (B, 3, H, W) noisy image; t: (B,) timesteps.
-        Returns x0 prediction (B, 3, H, W)."""
+        """x: (B, C, H, W) noisy image (C=3, or 6 with concat_input_view);
+        t: (B,) timesteps.  Returns x0 prediction (B, 3, H, W)."""
         cfg = self.config
         dt = cfg.dtype
         x = jnp.transpose(x, (0, 2, 3, 1))                   # NHWC
@@ -319,6 +326,13 @@ class ConsistencyViewSynthesizer(nn.Module):
         so = sch["sqrt_one_minus_alphas_cumprod"][t][:, None, None, None]
         return sa * x + so * noise
 
+    def _unet_in(self, x_t, input_image):
+        """U-Net input: the (noisy) sample, optionally with the input view
+        concatenated on channels (config.concat_input_view)."""
+        if self.config.concat_input_view:
+            return jnp.concatenate([x_t, input_image], axis=1)
+        return x_t
+
     def __call__(self, input_image, input_features, R_rel, t_rel,
                  target_image=None, timestep=None, noise=None,
                  deterministic: bool = True) -> Dict[str, jax.Array]:
@@ -331,20 +345,43 @@ class ConsistencyViewSynthesizer(nn.Module):
                 "training mode requires explicit timestep and noise (traced "
                 "randomness comes from the caller)")
             noisy = self.add_noise(target_image, timestep, noise)
-            x0_pred = self.unet(noisy, timestep.astype(jnp.float32),
+            x0_pred = self.unet(self._unet_in(noisy, input_image),
+                                timestep.astype(jnp.float32),
                                 image_cond, pose_cond, deterministic)
             return {"x0_pred": x0_pred, "target": target_image,
                     "noisy": noisy, "noise": noise, "timestep": timestep}
         assert noise is not None, "inference requires a noise sample"
         t = jnp.full((B,), self.config.num_timesteps - 1, jnp.float32)
-        x0_pred = self.unet(noise, t, image_cond, pose_cond, deterministic)
+        x0_pred = self.unet(self._unet_in(noise, input_image), t,
+                            image_cond, pose_cond, deterministic)
         return {"generated": x0_pred}
 
+    def predict_x0(self, input_image, input_features, R_rel, t_rel,
+                   x_t, timestep, deterministic: bool = True) -> jax.Array:
+        """Run the U-Net on an ALREADY-noisy sample x_t — no re-noising.
+
+        The consistency branch needs exactly this: the reference calls
+        `ema_model.unet(x_t_prev, t_prev, ...)` directly
+        (consistency_view_synthesis.py:929-933).  Routing x_t_prev through
+        the training path's add_noise would rescale it by
+        sqrt_alphas_cumprod[t] (≈0 at high t), silently turning the EMA
+        target into the unconditional mean."""
+        image_cond = self.image_adapter(input_features)
+        pose_cond = self.pose_encoder(R_rel, t_rel)
+        return self.unet(self._unet_in(x_t, input_image),
+                         timestep.astype(jnp.float32),
+                         image_cond, pose_cond, deterministic)
+
     def generate(self, input_features, R_rel, t_rel, noise,
-                 num_steps: int = 1, extra_noise=None) -> jax.Array:
+                 num_steps: int = 1, extra_noise=None,
+                 input_image=None) -> jax.Array:
         """Multi-step refinement; noise (B, 3, S, S).  extra_noise:
-        (num_steps-1, B, 3, S, S) for the intermediate perturbations."""
+        (num_steps-1, B, 3, S, S) for the intermediate perturbations.
+        input_image is required when config.concat_input_view."""
         B = noise.shape[0]
+        if self.config.concat_input_view and input_image is None:
+            raise ValueError("concat_input_view model: generate() needs "
+                             "the input view image")
         image_cond = self.image_adapter(input_features)
         pose_cond = self.pose_encoder(R_rel, t_rel)
         sch = self.schedule()
@@ -353,7 +390,10 @@ class ConsistencyViewSynthesizer(nn.Module):
         ts = np.linspace(nt - 1, 0, num_steps + 1).astype(np.int32)
         for i in range(num_steps):
             t = jnp.full((B,), float(ts[i]), jnp.float32)
-            z = self.unet(z, t, image_cond, pose_cond, True)
+            z_in = z
+            if self.config.concat_input_view:
+                z_in = jnp.concatenate([z, input_image], axis=1)
+            z = self.unet(z_in, t, image_cond, pose_cond, True)
             if i < num_steps - 1 and extra_noise is not None:
                 scale = sch["sqrt_one_minus_alphas_cumprod"][ts[i + 1]]
                 z = z + scale * extra_noise[i] * 0.5

@@ -227,6 +227,7 @@ class CVSTrainConfig:
     consistency_ramp_epochs: int = 10   # progressive consistency weight ramp
     use_quality_aware: bool = False     # depth-Laplacian quality masking
     use_amp: bool = False               # bf16 U-Net compute (fp32 master)
+    concat_input_view: bool = False     # input view as extra U-Net channels
     ema_decay: float = 0.9999
     save_interval: int = 10
     seed: int = 0
@@ -247,6 +248,7 @@ class CVSTrainer:
         self.model_config = CVSConfig(
             image_size=cfg.image_size, base_channels=cfg.base_channels,
             ema_decay=cfg.ema_decay,
+            concat_input_view=cfg.concat_input_view,
             dtype=jnp.bfloat16 if cfg.use_amp else None)
         self.model = ConsistencyViewSynthesizer(self.model_config)
         self.optimizer = optax.chain(
@@ -348,13 +350,16 @@ class CVSTrainer:
                 a_p * out["x0_pred"]
                 + (1 - a_p) / (1 - a_t + 1e-8) * (out["noisy"] - a_t * out["x0_pred"]),
                 -1.0, 1.0)
-            ema_out = model.apply(
+            # EMA x0 prediction at t_prev, on x_t_prev DIRECTLY — the
+            # reference calls ema_model.unet(x_t_prev, t_prev) with no
+            # re-noising (consistency_view_synthesis.py:929-933).  The
+            # earlier routing through the training path's add_noise scaled
+            # x_t_prev by sqrt_alphas_cumprod[t_prev] (≈0 at high t),
+            # pulling high-t predictions toward the unconditional mean.
+            x0_ema = jax.lax.stop_gradient(model.apply(
                 ema_params, batch["input_image"], batch["features"],
-                batch["R_rel"], batch["t_rel"],
-                target_image=x_t_prev, timestep=t_prev,
-                noise=jnp.zeros_like(noise))
-            # ema x0 prediction is on the CLEAN path: unet(x_t_prev, t_prev)
-            x0_ema = jax.lax.stop_gradient(ema_out["x0_pred"])
+                batch["R_rel"], batch["t_rel"], x_t_prev, t_prev,
+                method=model.predict_x0))
             ld["consistency"] = (jnp.mean((out["x0_pred"] - x0_ema) ** 2)
                                  * cfg.lambda_consistency * consistency_weight)
 
@@ -454,7 +459,8 @@ class CVSTrainer:
         Path(str(path) + ".json").write_text(json.dumps(
             {"epoch": epoch, "config": dataclasses.asdict(self.cfg)}))
 
-    def generate(self, state, features, R_rel, t_rel, rng, num_steps=1):
+    def generate(self, state, features, R_rel, t_rel, rng, num_steps=1,
+                 input_image=None):
         import jax
         import jax.numpy as jnp
 
@@ -463,7 +469,7 @@ class CVSTrainer:
         noise = jax.random.normal(rng, (B, 3, S, S))
         return self.model.apply(
             state["ema_params"], features, R_rel, t_rel, noise,
-            num_steps, method=self.model.generate)
+            num_steps, method=self.model.generate, input_image=input_image)
 
 
 def main(argv=None):
@@ -489,6 +495,10 @@ def main(argv=None):
     p.add_argument("--use_quality_aware", action="store_true")
     p.add_argument("--use_amp", action="store_true",
                    help="bf16 U-Net compute (fp32 master weights)")
+    p.add_argument("--concat_input_view", action="store_true",
+                   help="feed the input view as 3 extra U-Net input "
+                        "channels (stronger conditioning than the "
+                        "reference's cross-attention-only design; T-034)")
     p.add_argument("--n_scenes", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", type=str, default=None,
@@ -504,7 +514,7 @@ def main(argv=None):
         batch_size=args.batch_size, lr=args.lr, image_size=args.image_size,
         base_channels=args.base_channels,
         use_quality_aware=args.use_quality_aware, use_amp=args.use_amp,
-        seed=args.seed)
+        concat_input_view=args.concat_input_view, seed=args.seed)
     if args.data_dir:
         dataset = TeacherMultiviewDataset(
             args.data_dir, image_size=cfg.image_size,

@@ -201,6 +201,62 @@ class TestCVS:
                           1, method=model.generate)
         assert gen.shape == (B, 3, S, S)
 
+    def test_predict_x0_no_rescale(self):
+        """predict_x0(noisy, t) must equal the training path's x0_pred when
+        fed the SAME noisy sample — the consistency branch's EMA target
+        (reference consistency_view_synthesis.py:929-933 calls the unet
+        directly; routing through add_noise rescaled x_t by
+        sqrt_alphas_cumprod[t], collapsing high-t EMA targets — T-034)."""
+        from fresnel_tpu.models.cvs import CVSConfig, ConsistencyViewSynthesizer
+        cfg = CVSConfig(image_size=32, base_channels=32, num_image_tokens=32)
+        model = ConsistencyViewSynthesizer(cfg)
+        rng = np.random.default_rng(1)
+        B, S = 1, 32
+        ii = jnp.asarray(rng.uniform(size=(B, 3, S, S)).astype(np.float32))
+        ft = jnp.asarray(rng.normal(size=(B, 37, 37, 384)).astype(np.float32))
+        Rr = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        tr = jnp.ones((B, 3))
+        t = jnp.array([900])          # high t: where the rescale bug bit
+        noise = jnp.asarray(rng.normal(size=(B, 3, S, S)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), ii, ft, Rr, tr,
+                            target_image=ii,
+                            timestep=jnp.zeros((B,), jnp.int32),
+                            noise=jnp.zeros((B, 3, S, S)))
+        out = model.apply(params, ii, ft, Rr, tr, target_image=ii,
+                          timestep=t, noise=noise)
+        x0_direct = model.apply(params, ii, ft, Rr, tr, out["noisy"], t,
+                                method=model.predict_x0)
+        np.testing.assert_array_equal(np.asarray(x0_direct),
+                                      np.asarray(out["x0_pred"]))
+
+    def test_concat_input_view_conditioning(self):
+        """concat_input_view=True feeds the input view to the U-Net:
+        generation must depend on the input image and require it."""
+        import pytest
+        from fresnel_tpu.models.cvs import CVSConfig, ConsistencyViewSynthesizer
+        cfg = CVSConfig(image_size=32, base_channels=32, num_image_tokens=32,
+                        concat_input_view=True)
+        model = ConsistencyViewSynthesizer(cfg)
+        rng = np.random.default_rng(2)
+        B, S = 1, 32
+        ii = jnp.asarray(rng.uniform(size=(B, 3, S, S)).astype(np.float32))
+        ft = jnp.asarray(rng.normal(size=(B, 37, 37, 384)).astype(np.float32))
+        Rr = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
+        tr = jnp.ones((B, 3))
+        noise = jnp.asarray(rng.normal(size=(B, 3, S, S)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), ii, ft, Rr, tr,
+                            target_image=ii,
+                            timestep=jnp.zeros((B,), jnp.int32),
+                            noise=jnp.zeros((B, 3, S, S)))
+        g1 = model.apply(params, ft, Rr, tr, noise, 1,
+                         method=model.generate, input_image=ii)
+        g2 = model.apply(params, ft, Rr, tr, noise, 1,
+                         method=model.generate, input_image=ii * 0.5)
+        assert g1.shape == (B, 3, S, S)
+        assert not np.allclose(np.asarray(g1), np.asarray(g2))
+        with pytest.raises(ValueError, match="input view"):
+            model.apply(params, ft, Rr, tr, noise, 1, method=model.generate)
+
     def test_cosine_schedule(self):
         from fresnel_tpu.models.cvs import cosine_beta_schedule
         betas = cosine_beta_schedule(1000)
