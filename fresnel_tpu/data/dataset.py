@@ -52,6 +52,15 @@ def _load_image(path: Path, size: int) -> np.ndarray:
     return np.asarray(img, np.float32) / 255.0  # (S, S, 3)
 
 
+def _resize_rgb(img: np.ndarray, size: int) -> np.ndarray:
+    """(S0, S0, 3) float [0,1] -> (size, size, 3), PIL bilinear."""
+    from PIL import Image
+
+    pil = Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8))
+    return np.asarray(pil.resize((size, size), Image.BILINEAR),
+                      np.float32) / 255.0
+
+
 def color_jitter(rng: np.random.Generator, img: np.ndarray,
                  brightness: float = 0.1, contrast: float = 0.1,
                  saturation: float = 0.1) -> np.ndarray:
@@ -77,6 +86,11 @@ class Sample:
     # targets (g, g, K, 16) + the fitted depth_offset scalar.
     teacher_raw: Optional[np.ndarray] = None
     teacher_do: Optional[np.ndarray] = None
+    # Multi-view GT (corpus_v2 {name}_views.npz sidecar): (V, S, S, 3)
+    # float32 in [0,1] + (V,) azimuth degrees — orbit cameras match
+    # evaluation/novel_view_eval.py:render_views (el 0, distance 2).
+    views: Optional[np.ndarray] = None
+    view_azimuths_deg: Optional[np.ndarray] = None
 
 
 class ImageDataset:
@@ -151,8 +165,18 @@ class ImageDataset:
             with np.load(t_path) as t:
                 t_raw = t["raw"].astype(np.float32)
                 t_do = t["depth_offset"].astype(np.float32)
+        views = view_az = None
+        v_path = path.with_name(path.stem + "_views.npz")
+        if v_path.exists():
+            with np.load(v_path) as z:
+                views = z["images"].astype(np.float32) / 255.0
+                view_az = z["azimuths_deg"].astype(np.float32)
+            if views.shape[1] != self.image_size:
+                views = np.stack([_resize_rgb(v, self.image_size)
+                                  for v in views])
         return Sample(name=name, image=img, features=feats, depth=depth,
-                      vlm_density=vlm, teacher_raw=t_raw, teacher_do=t_do)
+                      vlm_density=vlm, teacher_raw=t_raw, teacher_do=t_do,
+                      views=views, view_azimuths_deg=view_az)
 
     def __len__(self) -> int:
         return len(self._samples)
@@ -188,6 +212,11 @@ class ImageDataset:
                     [s.teacher_raw for s in teachers])
                 batch["teacher_do"] = np.stack(
                     [s.teacher_do for s in teachers])
+            if all(s.views is not None for s in teachers):
+                # (B, V, 3, S, S) — channels-first like "image"
+                batch["views"] = np.stack(
+                    [np.transpose(s.views, (0, 3, 1, 2)) for s in teachers])
+                batch["view_azimuths_deg"] = teachers[0].view_azimuths_deg
             yield batch
 
 
