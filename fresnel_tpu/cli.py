@@ -365,12 +365,16 @@ def cmd_eval(args) -> int:
             feats = jnp.asarray(batch["features"])
         depth = jnp.asarray(batch["depth"])
         out = trainer.model.apply(state["params"]["model"], feats, depth)
-        samples.append({
+        sample = {
             "gaussians": {k: v[0] for k, v in out.items()
                           if k in ("positions", "scales", "rotations",
                                    "colors", "opacities")},
             "target": batch["image"][0],
-        })
+        }
+        if "views" in batch:
+            # corpus_v2 GT orbit views -> per-view SSIM/PSNR in the eval
+            sample["views"] = batch["views"][0]
+        samples.append(sample)
         if args.max_images and len(samples) >= args.max_images:
             break
     # The eval cap defaults to the CHECKPOINT's training cap — a decoder

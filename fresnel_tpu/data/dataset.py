@@ -273,4 +273,8 @@ class SyntheticGaussianDataset:
                     [s.teacher_raw for s in teachers])
                 batch["teacher_do"] = np.stack(
                     [s.teacher_do for s in teachers])
+            if all(s.views is not None for s in teachers):
+                batch["views"] = np.stack(
+                    [np.transpose(s.views, (0, 3, 1, 2)) for s in teachers])
+                batch["view_azimuths_deg"] = teachers[0].view_azimuths_deg
             yield batch

@@ -424,12 +424,16 @@ def render_scene_views(seed: int, index: int, image_size: int = 256,
 
 def generate_corpus(out_dir: str, n_images: int = 160, image_size: int = 256,
                     seed: int = 0, azimuths_deg=DEFAULT_AZIMUTHS_DEG,
-                    depth_size: int = 256) -> None:
+                    depth_size: int = 256, start: int = 0,
+                    stride: int = 1) -> None:
+    """start/stride shard the index range so N processes can generate in
+    parallel (scene i is deterministic per (seed, i) regardless of which
+    process renders it)."""
     from PIL import Image
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    for i in range(n_images):
+    for i in range(start, n_images, stride):
         name = f"scene_{i:04d}"
         png = out / f"{name}.png"
         npz = out / f"{name}_views.npz"
@@ -463,8 +467,11 @@ def main(argv=None):
     ap.add_argument("--n_images", type=int, default=160)
     ap.add_argument("--image_size", type=int, default=256)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--start", type=int, default=0)
+    ap.add_argument("--stride", type=int, default=1)
     args = ap.parse_args(argv)
-    generate_corpus(args.out_dir, args.n_images, args.image_size, args.seed)
+    generate_corpus(args.out_dir, args.n_images, args.image_size, args.seed,
+                    start=args.start, stride=args.stride)
 
 
 if __name__ == "__main__":

@@ -49,8 +49,16 @@ def evaluate_novel_views(
     output_json: Optional[str] = None,
     max_per_tile: int = 256,
 ) -> Dict:
-    """Returns {"per_view": {az: {...}}, "frontal_ssim", "view_consistency"}."""
+    """Returns {"per_view": {az: {...}}, "frontal_ssim", "view_consistency"}.
+
+    When a sample carries GT orbit views (corpus_v2 — key "views",
+    (V, 3, S, S) at the same azimuths), per-view SSIM/PSNR are computed
+    against them: the full novel-view metric the reference could never
+    produce (its photo corpora have no side-view ground truth, so its
+    exp-011 scores side views by coverage % only)."""
     per_view: Dict[str, List[float]] = {str(az): [] for az in azimuths_deg}
+    pv_ssim: Dict[str, List[float]] = {str(az): [] for az in azimuths_deg}
+    pv_psnr: Dict[str, List[float]] = {str(az): [] for az in azimuths_deg}
     frontal_ssim, frontal_psnr = [], []
     coverage_matrix = []                 # (samples, views)
 
@@ -68,6 +76,16 @@ def evaluate_novel_views(
                                       "linear")
         frontal_ssim.append(compute_ssim(views[0], target))
         frontal_psnr.append(compute_psnr(views[0], target))
+        gt_views = s.get("views")
+        if gt_views is not None:
+            gt_views = jnp.asarray(gt_views)
+            if gt_views.shape[-1] != render_size:
+                gt_views = jax.image.resize(
+                    gt_views, gt_views.shape[:2] + (render_size, render_size),
+                    "linear")
+            for az, rv, gv in zip(azimuths_deg, views, gt_views):
+                pv_ssim[str(az)].append(compute_ssim(rv, gv))
+                pv_psnr[str(az)].append(compute_psnr(rv, gv))
 
     cov = np.asarray(coverage_matrix)
     results = {
@@ -78,6 +96,19 @@ def evaluate_novel_views(
         if len(cov) else 0.0,
         "num_samples": len(samples),
     }
+    if any(pv_ssim[k] for k in pv_ssim):
+        results["per_view_ssim"] = {
+            k: float(np.mean(v)) for k, v in pv_ssim.items() if v}
+        results["per_view_psnr"] = {
+            k: float(np.mean(v)) for k, v in pv_psnr.items() if v}
+        side = [np.mean(pv_ssim[k]) for k in ("90.0", "270.0")
+                if pv_ssim.get(k)] or \
+               [np.mean(pv_ssim[k]) for k in ("90", "270") if pv_ssim.get(k)]
+        nonfrontal = [v for k, v in results["per_view_ssim"].items()
+                      if float(k) != 0.0]
+        results["side_view_ssim"] = float(np.mean(side)) if side else None
+        results["novel_view_ssim"] = (float(np.mean(nonfrontal))
+                                      if nonfrontal else None)
     if output_json:
         Path(output_json).parent.mkdir(parents=True, exist_ok=True)
         Path(output_json).write_text(json.dumps(results, indent=2))

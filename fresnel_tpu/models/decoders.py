@@ -63,6 +63,8 @@ def head_transform(
     use_phase_output: bool = False,
     elevation: Optional[jax.Array] = None,  # (B,)
     azimuth: Optional[jax.Array] = None,    # (B,)
+    depth_z_scale: float = -2.0,
+    z_offset_scale: float = 0.0,
 ) -> Dict[str, jax.Array]:
     """Raw per-patch head outputs -> Gaussian parameter dict.
 
@@ -98,15 +100,27 @@ def head_transform(
         if use_fresnel_zones:
             zones = FresnelZones(num_zones=num_fresnel_zones)
             depth_grid = zones.zone_centers_for_depth(depth_grid)
-        base_z = depth_offset + depth_grid[..., None] * (-2.0)
+        # depth_z_scale = -2.0 is reference parity
+        # (gaussian_decoder_models.py:841) but GEOMETRICALLY INVERTED: the
+        # camera sits at +Z looking down -Z, and disparity is larger =
+        # closer, so close content should get LARGER z.  +2.0 (with
+        # depth_offset re-initialized near -2) is the physically-correct
+        # mapping for view-aware training on corpus_v2 (T-038+).
+        base_z = depth_offset + depth_grid[..., None] * depth_z_scale
         base_z = jnp.broadcast_to(base_z, (B, H, W, K))
     else:
         base_z = jnp.full((B, H, W, K), depth_offset)
 
+    # z_offset_scale > 0 re-enables the otherwise-unused raw z channel as
+    # a bounded per-Gaussian residual on the depth lock — frontal-only
+    # supervision cannot constrain it, but side-view GT (corpus_v2) can.
+    z_term = (base_z + jnp.tanh(raw_pos[..., 2]) * z_offset_scale
+              if z_offset_scale else base_z)
+
     positions = jnp.stack(
         [base_x + raw_pos[..., 0] * 0.25,
          base_y + raw_pos[..., 1] * 0.25,
-         base_z],  # Z locked to depth
+         z_term],  # Z locked to depth (modulo optional residual)
         axis=-1)
 
     if elevation is not None and azimuth is not None:
@@ -171,6 +185,12 @@ class DirectPatchDecoder(nn.Module):
     # basin without changing the reachable set.
     scale_bias: float = 0.0
     opacity_bias: float = 0.0
+    # Geometry of the depth lock (see head_transform): -2.0 = reference
+    # parity; +2.0 = physically-correct parallax for view-aware training.
+    # z_offset_scale > 0 re-enables the raw z channel as a bounded
+    # per-Gaussian residual (tanh * scale).
+    depth_z_scale: float = -2.0
+    z_offset_scale: float = 0.0
 
     @property
     def output_per_gaussian(self) -> int:
@@ -212,7 +232,9 @@ class DirectPatchDecoder(nn.Module):
             edge_scale_factor=self.edge_scale_factor,
             edge_opacity_boost=self.edge_opacity_boost,
             use_phase_output=self.use_phase_output,
-            elevation=elevation, azimuth=azimuth)
+            elevation=elevation, azimuth=azimuth,
+            depth_z_scale=self.depth_z_scale,
+            z_offset_scale=self.z_offset_scale)
 
         if self.use_pose_encoding and elevation is not None and azimuth is not None:
             pose_emb = PoseEncoder(self.pose_embed_dim)(elevation, azimuth)

@@ -129,6 +129,18 @@ class TrainingConfig:
     # falls into on render loss.
     scale_bias: float = 0.0
     opacity_bias: float = 0.0
+    # View-aware training on corpus_v2 GT orbit views (novel-view
+    # supervision; the reference's exp-011 analogue but with true GT):
+    # weight for the (L1 + ssim_weight*(1-SSIM)) term on one randomly
+    # sampled non-frontal GT view per sample per step.  0 = off.
+    view_weight: float = 0.0
+    # Depth-lock geometry (models/decoders.py:head_transform): -2.0 is
+    # reference parity (gaussian_decoder_models.py:841) but inverts
+    # parallax; +2.0 is physically correct for novel-view work.
+    depth_z_scale: float = -2.0
+    # >0 re-enables the raw z channel as tanh(raw)*scale residual on the
+    # depth lock (identifiable only with multi-view supervision).
+    z_offset_scale: float = 0.0
 
 
 @dataclasses.dataclass

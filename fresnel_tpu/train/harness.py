@@ -35,6 +35,7 @@ import optax
 from fresnel_tpu.core.camera import Camera
 from fresnel_tpu.losses.aggregate import compute_losses
 from fresnel_tpu.losses.physics import init_learnable_wavelengths
+from fresnel_tpu.losses.ssim import ssim
 from fresnel_tpu.models.blocks import tensegrity_loss
 from fresnel_tpu.physics.fresnel_zones import FresnelZones
 from fresnel_tpu.render.factory import select_training_renderer
@@ -74,6 +75,8 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
             use_pose_encoding=config.use_pose_encoding,
             use_depth_fusion=config.use_depth_fusion,
             depth_feature_dim=config.depth_feature_dim,
+            depth_z_scale=getattr(config, "depth_z_scale", -2.0),
+            z_offset_scale=getattr(config, "z_offset_scale", 0.0),
             **head_bias, **common)
     if config.experiment == 4:
         from fresnel_tpu.models.fibonacci import FibonacciPatchDecoder
@@ -417,6 +420,41 @@ class Trainer:
                     ovf_sum[2] / (ovf.shape[0] * n_tiles))
                 ld["overflow_max_tile_hits"] = jnp.max(ovf[:, 3]).astype(
                     jnp.float32)
+
+            if cfg.view_weight > 0 and "views" in batch:
+                # View-aware supervision (corpus_v2 GT orbit views): render
+                # the SAME canonical cloud from one randomly sampled
+                # non-frontal GT azimuth per sample and score it against
+                # the raytraced ground truth.  The reference's exp-011
+                # could only supervise side views indirectly (no GT);
+                # corpus_v2 makes this a direct render loss.
+                gt_views = batch["views"]                     # (B, V, 3, S, S)
+                view_az = batch["view_azimuths_deg"]          # (V,)
+                V = gt_views.shape[1]
+                rng_view = jax.random.fold_in(rng_k, 7)
+                vidx = jax.random.randint(rng_view, (B,), 1, V)  # skip frontal
+                gt = jnp.take_along_axis(
+                    gt_views, vidx[:, None, None, None, None], axis=1)[:, 0]
+                if gt.shape[-1] != res:
+                    gt = jax.image.resize(gt, (B, 3, res, res), "linear")
+                az_v = jnp.radians(view_az)[vidx]             # (B,)
+                cams_v = jax.vmap(
+                    lambda a: Camera.from_pose(0.0, a, res))(az_v)
+                imgs_v, _, ovf_v = jax.vmap(
+                    lambda p, s, r, c, o, cam: render_one(
+                        p, s, r, c, o, None, cam))(pos, sc, rot, col, op,
+                                                   cams_v)
+                v_l1 = jnp.mean(jnp.abs(imgs_v - gt))
+                v_ssim = 1.0 - ssim(jnp.clip(imgs_v, 0.0, 1.0), gt,
+                                    data_range=1.0)
+                v_loss = v_l1 + cfg.ssim_weight * v_ssim
+                ld["view"] = v_loss
+                total = total + cfg.view_weight * v_loss
+                ld["total"] = total
+                if track_overflow:
+                    ovf_v_sum = jnp.sum(ovf_v, axis=0).astype(jnp.float32)
+                    ld["view_overflow_dropped_frac"] = (
+                        ovf_v_sum[0] / jnp.maximum(ovf_v_sum[1], 1.0))
 
             if distill_on and "teacher_raw" in batch:
                 # Teacher raws were fit with zero head biases; shift the

@@ -119,6 +119,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--opacity_bias", type=float, default=0.0,
                    help="Additive bias inside the opacity sigmoid "
                         "(0 = reference behavior)")
+    p.add_argument("--view_weight", type=float, default=0.0,
+                   help="View-aware training: weight for the render loss "
+                        "on one random GT orbit view per sample per step "
+                        "(needs corpus_v2 {name}_views.npz sidecars)")
+    p.add_argument("--depth_z_scale", type=float, default=-2.0,
+                   help="Depth-lock slope: -2.0 = reference parity "
+                        "(inverted parallax); +2.0 = physically correct "
+                        "for novel-view supervision")
+    p.add_argument("--z_offset_scale", type=float, default=0.0,
+                   help=">0 re-enables the raw z channel as a bounded "
+                        "per-Gaussian residual on the depth lock")
     p.add_argument("--surface_init", action="store_true",
                    help="Umbrella: start decoder heads at surface-like "
                         "outputs (scale_bias=-2.6, opacity_bias=1.5) — "
@@ -221,6 +232,9 @@ def configs_from_args(args):
         opacity_bias=args.opacity_bias,
         distill_weight=args.distill_weight,
         distill_decay_epochs=args.distill_decay_epochs,
+        view_weight=args.view_weight,
+        depth_z_scale=args.depth_z_scale,
+        z_offset_scale=args.z_offset_scale,
     )
     physics = PhysicsConfig(
         use_wave_rendering=args.use_wave_rendering,

@@ -50,6 +50,29 @@ class TestDirectPatchDecoder:
         # base_z = depth_offset(-2) + 0.5 * (-2) = -3, exactly (Z locked).
         np.testing.assert_allclose(np.asarray(z), -3.0, atol=1e-5)
 
+    def test_depth_z_scale_flips_parallax(self):
+        # depth_z_scale=+2.0 (physically-correct mapping for corpus_v2
+        # view-aware training) must place CLOSER content (larger
+        # disparity) at LARGER z; the reference-parity -2.0 inverts it.
+        feats, _ = dummy_inputs()
+        depth = jnp.full((2, 64, 64), 0.5, jnp.float32)
+        model = DirectPatchDecoder(gaussians_per_patch=2, depth_z_scale=2.0)
+        params = model.init(jax.random.PRNGKey(0), feats, depth)
+        z = model.apply(params, feats, depth)["positions"][..., 2]
+        # base_z = depth_offset(-2) + 0.5 * (+2) = -1, exactly.
+        np.testing.assert_allclose(np.asarray(z), -1.0, atol=1e-5)
+
+    def test_z_offset_scale_unlocks_bounded_residual(self):
+        feats, _ = dummy_inputs()
+        depth = jnp.full((2, 64, 64), 0.5, jnp.float32)
+        model = DirectPatchDecoder(gaussians_per_patch=2, z_offset_scale=0.3)
+        params = model.init(jax.random.PRNGKey(0), feats, depth)
+        z = np.asarray(model.apply(params, feats, depth)["positions"][..., 2])
+        # Residual is tanh(raw_z) * 0.3 around the -3.0 depth lock: varies,
+        # but bounded by the scale.
+        assert z.std() > 0
+        assert np.all(np.abs(z - (-3.0)) <= 0.3 + 1e-5)
+
     def test_progressive_k(self):
         feats, depth = dummy_inputs()
         model = DirectPatchDecoder(gaussians_per_patch=8)

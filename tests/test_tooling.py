@@ -116,6 +116,26 @@ class TestEvaluators:
         assert json.loads(out.read_text())["frontal_ssim"] == pytest.approx(
             res["frontal_ssim"])
 
+    def test_novel_view_eval_gt_views(self, cloud):
+        """corpus_v2 path: a sample carrying GT orbit views gets per-view
+        SSIM/PSNR vs those views.  Self-render GT -> perfect scores."""
+        from fresnel_tpu.evaluation.novel_view_eval import (
+            evaluate_novel_views, render_views)
+
+        g = {"positions": cloud.positions, "scales": cloud.scales,
+             "rotations": cloud.rotations, "colors": cloud.colors,
+             "opacities": cloud.opacities}
+        az = [0.0, 90.0, 270.0]
+        gt = render_views(g, 64, az)          # (V, 3, 64, 64)
+        res = evaluate_novel_views(
+            [{"gaussians": g, "target": gt[0], "views": gt}],
+            render_size=64, azimuths_deg=az)
+        assert set(res["per_view_ssim"]) == {"0.0", "90.0", "270.0"}
+        assert all(v > 0.999 for v in res["per_view_ssim"].values())
+        assert res["side_view_ssim"] > 0.999
+        assert res["novel_view_ssim"] > 0.999
+        assert all(v > 40 for v in res["per_view_psnr"].values())
+
 
 class TestViewerExport:
     def test_html_export_structure(self, cloud, tmp_path):

@@ -448,3 +448,54 @@ class TestDistillation:
         assert ds2._samples[0].teacher_raw.shape == (4, 4, 1, 16)
         assert ds4._samples[0].teacher_raw.shape == (13, 1, 16)
         assert float(ds4._samples[0].teacher_do) == -1.0
+
+
+class TestViewAware:
+    """View-aware training on corpus_v2 GT orbit views (harness.py view
+    loss block): one random non-frontal GT view per sample per step is
+    rendered from the canonical cloud and scored against raytraced GT."""
+
+    def _trainer(self, tmp_path, **kw):
+        cfg = tiny_config(tmp_path, epochs=1, **kw)
+        return Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+
+    def _attach_views(self, ds, n_views=4, size=32, seed=0):
+        rng = np.random.default_rng(seed)
+        az = np.linspace(0.0, 360.0, n_views, endpoint=False).astype(
+            np.float32)
+        for s in ds._samples:
+            s.views = rng.uniform(
+                size=(n_views, size, size, 3)).astype(np.float32)
+            s.view_azimuths_deg = az
+
+    def test_batches_carry_views(self, tiny_dataset):
+        self._attach_views(tiny_dataset)
+        batch = next(iter(tiny_dataset.batches(2, np.random.default_rng(0))))
+        assert batch["views"].shape == (2, 4, 3, 32, 32)
+        assert batch["view_azimuths_deg"].shape == (4,)
+
+    def test_view_loss_in_step(self, tiny_dataset, tmp_path):
+        self._attach_views(tiny_dataset)
+        trainer = self._trainer(tmp_path, view_weight=0.5,
+                                depth_z_scale=2.0, z_offset_scale=0.2)
+        batch = next(iter(tiny_dataset.batches(2, np.random.default_rng(0))))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = trainer.init_state(jb)
+        step = trainer.get_step(1, None)
+        state, ld = step(state, jb, jax.random.PRNGKey(0))
+        assert "view" in ld and np.isfinite(float(ld["view"]))
+        assert np.isfinite(float(ld["total"]))
+        # The view term is part of the total the gradient sees.
+        assert float(ld["total"]) >= 0.5 * float(ld["view"]) - 1e-6
+
+    def test_view_weight_zero_ignores_views(self, tiny_dataset, tmp_path):
+        self._attach_views(tiny_dataset)
+        trainer = self._trainer(tmp_path)          # view_weight=0 default
+        batch = next(iter(tiny_dataset.batches(2, np.random.default_rng(0))))
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = trainer.init_state(jb)
+        step = trainer.get_step(1, None)
+        _, ld = step(state, jb, jax.random.PRNGKey(0))
+        assert "view" not in ld
