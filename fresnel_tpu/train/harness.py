@@ -421,23 +421,20 @@ class Trainer:
                 ld["overflow_max_tile_hits"] = jnp.max(ovf[:, 3]).astype(
                     jnp.float32)
 
-            if cfg.view_weight > 0 and "views" in batch:
+            if cfg.view_weight > 0 and "view_gt" in batch:
                 # View-aware supervision (corpus_v2 GT orbit views): render
                 # the SAME canonical cloud from one randomly sampled
                 # non-frontal GT azimuth per sample and score it against
                 # the raytraced ground truth.  The reference's exp-011
                 # could only supervise side views indirectly (no GT);
-                # corpus_v2 makes this a direct render loss.
-                gt_views = batch["views"]                     # (B, V, 3, S, S)
-                view_az = batch["view_azimuths_deg"]          # (V,)
-                V = gt_views.shape[1]
-                rng_view = jax.random.fold_in(rng_k, 7)
-                vidx = jax.random.randint(rng_view, (B,), 1, V)  # skip frontal
-                gt = jnp.take_along_axis(
-                    gt_views, vidx[:, None, None, None, None], axis=1)[:, 0]
+                # corpus_v2 makes this a direct render loss.  The random
+                # view is selected per sample on HOST (_device_batch) so
+                # only (B, 3, S, S) crosses the tunnel — shipping the full
+                # (B, V, 3, S, S) stack was ~50 MB/step at B=8.
+                gt = batch["view_gt"]                         # (B, 3, S, S)
                 if gt.shape[-1] != res:
                     gt = jax.image.resize(gt, (B, 3, res, res), "linear")
-                az_v = jnp.radians(view_az)[vidx]             # (B,)
+                az_v = jnp.radians(batch["view_az_deg"])      # (B,)
                 cams_v = jax.vmap(
                     lambda a: Camera.from_pose(0.0, a, res))(az_v)
                 imgs_v, _, ovf_v = jax.vmap(
@@ -533,6 +530,28 @@ class Trainer:
         return self._steps[key]
 
     # ------------------------------------------------------------------
+    def _device_batch(self, batch: Dict[str, np.ndarray],
+                      nprng: np.random.Generator) -> Dict[str, jax.Array]:
+        """Host-side batch prep before the device transfer.
+
+        The corpus_v2 GT-views stack is (B, V, 3, S, S) ≈ 50 MB/step at
+        B=8 — pathological over the tunneled TPU link.  It never goes to
+        the device: when the view loss is on, ONE random non-frontal view
+        per sample is selected here (numpy) and shipped as (B, 3, S, S)
+        `view_gt` + its azimuth `view_az_deg`; otherwise views are simply
+        dropped."""
+        jb = {k: jnp.asarray(v) for k, v in batch.items()
+              if k not in ("views", "view_azimuths_deg")}
+        if self.config.view_weight > 0 and "views" in batch:
+            v = batch["views"]                      # (B, V, 3, S, S)
+            B, V = v.shape[:2]
+            vidx = nprng.integers(1, V, size=B)     # skip frontal (idx 0)
+            jb["view_gt"] = jnp.asarray(v[np.arange(B), vidx])
+            jb["view_az_deg"] = jnp.asarray(
+                np.asarray(batch["view_azimuths_deg"], np.float32)[vidx])
+        return jb
+
+    # ------------------------------------------------------------------
     def fit(self, dataset, epochs: Optional[int] = None,
             state: Optional[Dict] = None, log_fn: Callable = print,
             mesh=None, start_epoch: int = 0,
@@ -601,7 +620,7 @@ class Trainer:
             t0 = time.perf_counter()
             epoch_losses: Dict[str, list] = {}
             for batch in dataset.batches(cfg.batch_size, nprng):
-                jb = jax.tree.map(jnp.asarray, batch)
+                jb = self._device_batch(batch, nprng)
                 if cfg.distill_weight > 0:
                     dec = cfg.distill_decay_epochs
                     jb["distill_scale"] = jnp.float32(

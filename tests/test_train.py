@@ -481,7 +481,13 @@ class TestViewAware:
         trainer = self._trainer(tmp_path, view_weight=0.5,
                                 depth_z_scale=2.0, z_offset_scale=0.2)
         batch = next(iter(tiny_dataset.batches(2, np.random.default_rng(0))))
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = trainer._device_batch(batch, np.random.default_rng(1))
+        # Host-side view selection: the full (B, V, ...) stack never
+        # crosses to the device, one non-frontal view per sample does.
+        assert "views" not in jb
+        assert jb["view_gt"].shape == (2, 3, 32, 32)
+        assert jb["view_az_deg"].shape == (2,)
+        assert np.all(np.asarray(jb["view_az_deg"]) > 0)  # frontal skipped
         state = trainer.init_state(jb)
         step = trainer.get_step(1, None)
         state, ld = step(state, jb, jax.random.PRNGKey(0))
@@ -494,7 +500,8 @@ class TestViewAware:
         self._attach_views(tiny_dataset)
         trainer = self._trainer(tmp_path)          # view_weight=0 default
         batch = next(iter(tiny_dataset.batches(2, np.random.default_rng(0))))
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = trainer._device_batch(batch, np.random.default_rng(1))
+        assert "views" not in jb and "view_gt" not in jb
         state = trainer.init_state(jb)
         step = trainer.get_step(1, None)
         _, ld = step(state, jb, jax.random.PRNGKey(0))
