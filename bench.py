@@ -41,8 +41,11 @@ def main():
               for _ in range(8)]
     image = images[0]
 
-    dino = DINOv2()                       # ViT-S/14: width 384, depth 12
-    depth_model = DepthAnything()         # ViT-S backbone + DPT head
+    # bf16 compute (f32 params/softmax/outputs) — the TPU-standard
+    # inference configuration, matching the CLI's real-weights path
+    # (encoders.py DINOv2FeatureExtractor / DepthAnythingEstimator).
+    dino = DINOv2(dtype=jnp.bfloat16)     # ViT-S/14: width 384, depth 12
+    depth_model = DepthAnything(dtype=jnp.bfloat16)  # ViT-S + DPT head
     decoder = DirectPatchDecoder(gaussians_per_patch=4)
     camera = Camera.default_training(res)
 

@@ -174,7 +174,8 @@ class DINOv2FeatureExtractor:
 
     kind = "dinov2"
 
-    def __init__(self, weights_path: str, grid: int = 37, dim: int = 384):
+    def __init__(self, weights_path: str, grid: int = 37, dim: int = 384,
+                 compute_dtype=None):
         import jax
 
         from fresnel_tpu.models.vit import (
@@ -187,7 +188,12 @@ class DINOv2FeatureExtractor:
         self.dim = dim
         self.weights_path = weights_path
         self.image_size = grid * 14
-        self._model = DINOv2(image_size=self.image_size, **VIT_CONFIGS[size])
+        # bf16 compute (f32 params/softmax/outputs) is the TPU-standard
+        # inference configuration — full MXU rate; pass jnp.float32 for
+        # exact torch-parity comparisons.
+        compute_dtype = jnp.bfloat16 if compute_dtype is None else compute_dtype
+        self._model = DINOv2(image_size=self.image_size, dtype=compute_dtype,
+                             **VIT_CONFIGS[size])
         # eval_shape: build the params tree structure without running the
         # 518² forward; the STRICT apply below fills every leaf from the
         # checkpoint, so no random values can survive.
@@ -220,7 +226,8 @@ class DepthAnythingEstimator:
 
     kind = "depth_anything"
 
-    def __init__(self, weights_path: str, size: str = "small"):
+    def __init__(self, weights_path: str, size: str = "small",
+                 compute_dtype=None):
         import jax
 
         from fresnel_tpu.models.vit import (
@@ -228,7 +235,9 @@ class DepthAnythingEstimator:
             _apply_flat)
 
         self.weights_path = weights_path
-        self._model = DepthAnything(out_size=518, **VIT_CONFIGS[size])
+        compute_dtype = jnp.bfloat16 if compute_dtype is None else compute_dtype
+        self._model = DepthAnything(out_size=518, dtype=compute_dtype,
+                                    **VIT_CONFIGS[size])
         params = jax.eval_shape(self._model.init, jax.random.PRNGKey(0),
                                 jnp.zeros((1, 518, 518, 3)))
         flat = convert_depth_anything_torch(weights_path, size)

@@ -92,11 +92,11 @@ def resize_bilinear_ac(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     H, W = x.shape[1], x.shape[2]
     if H != out_h:
         i0, i1, w1 = _linear_ac_taps(H, out_h)
-        w1 = jnp.asarray(w1)[None, :, None, None]
+        w1 = jnp.asarray(w1).astype(x.dtype)[None, :, None, None]
         x = x[:, i0] * (1.0 - w1) + x[:, i1] * w1
     if W != out_w:
         i0, i1, w1 = _linear_ac_taps(W, out_w)
-        w1 = jnp.asarray(w1)[None, None, :, None]
+        w1 = jnp.asarray(w1).astype(x.dtype)[None, None, :, None]
         x = x[:, :, i0] * (1.0 - w1) + x[:, :, i1] * w1
     return x
 
@@ -160,17 +160,21 @@ def interpolate_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
 class Attention(nn.Module):
     width: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, N, D = x.shape
         hd = D // self.heads
-        qkv = nn.Dense(3 * D, name="qkv")(x).reshape(B, N, 3, self.heads, hd)
+        qkv = nn.Dense(3 * D, name="qkv",
+                       dtype=self.dtype)(x).reshape(B, N, 3, self.heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jax.nn.softmax(
-            jnp.einsum("bnhd,bmhd->bhnm", q, k) * hd ** -0.5, -1)
+        # Softmax in f32 regardless of compute dtype (bf16 exp/normalize
+        # is the one numerically fragile spot in the block).
+        logits = jnp.einsum("bnhd,bmhd->bhnm", q, k) * hd ** -0.5
+        attn = jax.nn.softmax(logits.astype(jnp.float32), -1).astype(q.dtype)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, D)
-        return nn.Dense(D, name="proj")(out)
+        return nn.Dense(D, name="proj", dtype=self.dtype)(out)
 
 
 class LayerScale(nn.Module):
@@ -181,22 +185,25 @@ class LayerScale(nn.Module):
     def __call__(self, x):
         gamma = self.param("gamma",
                            lambda _: jnp.full((self.dim,), self.init))
-        return x * gamma
+        return x * gamma.astype(x.dtype)
 
 
 class Block(nn.Module):
     width: int
     heads: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm(name="norm1")(x)
-        h = Attention(self.width, self.heads, name="attn")(h)
+        h = nn.LayerNorm(name="norm1", dtype=self.dtype)(x)
+        h = Attention(self.width, self.heads, dtype=self.dtype,
+                      name="attn")(h)
         x = x + LayerScale(self.width, name="ls1")(h)
-        h = nn.LayerNorm(name="norm2")(x)
-        h = nn.Dense(self.width * 4, name="mlp_fc1")(h)
+        h = nn.LayerNorm(name="norm2", dtype=self.dtype)(x)
+        h = nn.Dense(self.width * 4, name="mlp_fc1", dtype=self.dtype)(h)
         # HF "gelu" is the exact erf GELU (ACT2FN["gelu"] -> nn.GELU()).
-        h = nn.Dense(self.width, name="mlp_fc2")(nn.gelu(h, approximate=False))
+        h = nn.Dense(self.width, name="mlp_fc2",
+                     dtype=self.dtype)(nn.gelu(h, approximate=False))
         return x + LayerScale(self.width, name="ls2")(h)
 
 
@@ -217,6 +224,11 @@ class DINOv2(nn.Module):
     heads: int = 6
     patch_size: int = 14
     image_size: int = 518
+    # Computation dtype.  Params are always f32; jnp.bfloat16 here runs the
+    # blocks at full MXU rate (softmax stays f32) and is the TPU-standard
+    # inference configuration (bench.py, cli infer).  Default f32 = exact
+    # HF-torch parity (the parity tests pin ≤1e-4).
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, images: jax.Array,
@@ -225,8 +237,10 @@ class DINOv2(nn.Module):
         B = images.shape[0]
         g = self.image_size // self.patch_size
         x = (images - IMAGENET_MEAN) / IMAGENET_STD
+        x = x.astype(self.dtype)
         x = nn.Conv(self.width, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size),
+                    dtype=self.dtype,
                     name="patch_embed")(x)                   # (B, g, g, W)
         x = x.reshape(B, g * g, self.width)
 
@@ -234,17 +248,20 @@ class DINOv2(nn.Module):
                          (1, 1, self.width))
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, g * g + 1, self.width))
-        x = jnp.concatenate([jnp.broadcast_to(cls, (B, 1, self.width)), x], 1)
-        x = x + pos
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (B, 1, self.width)),
+             x], 1)
+        x = x + pos.astype(self.dtype)
 
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(name="norm", dtype=self.dtype)
         taps: List[jax.Array] = []
         if out_indices is not None:
             assert tuple(out_indices) == tuple(sorted(set(out_indices))), \
                 "out_indices must be strictly ascending"
         want = set(out_indices or ())
         for i in range(self.depth):
-            x = Block(self.width, self.heads, name=f"block_{i}")(x)
+            x = Block(self.width, self.heads, dtype=self.dtype,
+                      name=f"block_{i}")(x)
             # HF hidden_states[i+1] is the output of layer i+1 (1-based);
             # each tapped state gets the shared final LayerNorm.
             if (i + 1) in want:
@@ -252,7 +269,7 @@ class DINOv2(nn.Module):
         if out_indices is not None:
             return taps
         x = norm(x)
-        return x[:, 1:].reshape(B, g, g, self.width)
+        return x[:, 1:].reshape(B, g, g, self.width).astype(jnp.float32)
 
 
 # ----------------------------------------------------------------------
@@ -277,8 +294,8 @@ class PatchUpsample(nn.Module):
         w = self.param("kernel", nn.initializers.normal(0.02),
                        (k, k, C, self.channels))
         b = self.param("bias", nn.initializers.zeros, (self.channels,))
-        t = jnp.einsum("bhwi,pqio->bhpwqo", x, w)
-        return t.reshape(B, H * k, W * k, self.channels) + b
+        t = jnp.einsum("bhwi,pqio->bhpwqo", x, w.astype(x.dtype))
+        return t.reshape(B, H * k, W * k, self.channels) + b.astype(x.dtype)
 
 
 class PreActResidual(nn.Module):
@@ -286,13 +303,14 @@ class PreActResidual(nn.Module):
     DepthAnythingPreActResidualLayer): x + conv(relu(conv(relu(x))))."""
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         h = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    name="conv1")(nn.relu(x))
+                    dtype=self.dtype, name="conv1")(nn.relu(x))
         h = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    name="conv2")(nn.relu(h))
+                    dtype=self.dtype, name="conv2")(nn.relu(h))
         return x + h
 
 
@@ -301,17 +319,20 @@ class FeatureFusion(nn.Module):
     unit, align_corners=True bilinear upsample, 1x1 projection."""
 
     features: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, residual=None,
                  out_size: Optional[Tuple[int, int]] = None):
         if residual is not None:
-            x = x + PreActResidual(self.features, name="res1")(residual)
-        x = PreActResidual(self.features, name="res2")(x)
+            x = x + PreActResidual(self.features, dtype=self.dtype,
+                                   name="res1")(residual)
+        x = PreActResidual(self.features, dtype=self.dtype, name="res2")(x)
         if out_size is None:
             out_size = (x.shape[1] * 2, x.shape[2] * 2)
         x = resize_bilinear_ac(x, out_size[0], out_size[1])
-        return nn.Conv(self.features, (1, 1), name="proj")(x)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="proj")(x)
 
 
 class DPTNeckHead(nn.Module):
@@ -327,6 +348,7 @@ class DPTNeckHead(nn.Module):
     fusion: int = DA_FUSION
     head_hidden: int = DA_HEAD_HIDDEN
     patch_size: int = 14
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, taps: Sequence[jax.Array], grid: int) -> jax.Array:
@@ -336,17 +358,19 @@ class DPTNeckHead(nn.Module):
         for i, (tokens, ch) in enumerate(zip(taps, self.neck_channels)):
             B = tokens.shape[0]
             h = tokens[:, 1:].reshape(B, grid, grid, tokens.shape[-1])
-            h = nn.Conv(ch, (1, 1), name=f"reassemble_{i}_proj")(h)
+            h = nn.Conv(ch, (1, 1), dtype=self.dtype,
+                        name=f"reassemble_{i}_proj")(h)
             if i == 0:
                 h = PatchUpsample(ch, 4, name=f"reassemble_{i}_resize")(h)
             elif i == 1:
                 h = PatchUpsample(ch, 2, name=f"reassemble_{i}_resize")(h)
             elif i == 3:
                 h = nn.Conv(ch, (3, 3), strides=(2, 2),
-                            padding=[(1, 1), (1, 1)],
+                            padding=[(1, 1), (1, 1)], dtype=self.dtype,
                             name=f"reassemble_{i}_resize")(h)
             h = nn.Conv(self.fusion, (3, 3), padding=[(1, 1), (1, 1)],
-                        use_bias=False, name=f"neck_conv_{i}")(h)
+                        use_bias=False, dtype=self.dtype,
+                        name=f"neck_conv_{i}")(h)
             feats.append(h)
 
         # Fusion: deepest (smallest) first; fusion_{i} maps to HF
@@ -356,18 +380,21 @@ class DPTNeckHead(nn.Module):
         for i, f in enumerate(rev):
             size = (rev[i + 1].shape[1], rev[i + 1].shape[2]) \
                 if i + 1 < len(rev) else None
-            layer = FeatureFusion(self.fusion, name=f"fusion_{i}")
+            layer = FeatureFusion(self.fusion, dtype=self.dtype,
+                                  name=f"fusion_{i}")
             fused = layer(f, None, size) if fused is None \
                 else layer(fused, f, size)
 
         x = nn.Conv(self.fusion // 2, (3, 3), padding=[(1, 1), (1, 1)],
-                    name="head_conv1")(fused)
+                    dtype=self.dtype, name="head_conv1")(fused)
         out = grid * self.patch_size
         x = resize_bilinear_ac(x, out, out)
         x = nn.relu(nn.Conv(self.head_hidden, (3, 3),
-                            padding=[(1, 1), (1, 1)], name="head_conv2")(x))
-        x = nn.Conv(1, (1, 1), name="head_conv3")(x)
-        return nn.relu(x[..., 0])            # (B, out, out) relative depth
+                            padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                            name="head_conv2")(x))
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="head_conv3")(x)
+        # f32 out: min-max normalize downstream is cancellation-sensitive.
+        return nn.relu(x[..., 0]).astype(jnp.float32)
 
 
 class DepthAnything(nn.Module):
@@ -391,16 +418,17 @@ class DepthAnything(nn.Module):
     neck_channels: Tuple[int, ...] = DA_NECK_CHANNELS
     fusion: int = DA_FUSION
     head_hidden: int = DA_HEAD_HIDDEN
+    dtype: jnp.dtype = jnp.float32    # see DINOv2.dtype
 
     @nn.compact
     def __call__(self, images: jax.Array, raw: bool = False) -> jax.Array:
         g = self.image_size // self.patch_size
         taps = DINOv2(self.width, self.depth, self.heads, self.patch_size,
-                      self.image_size, name="backbone")(
+                      self.image_size, dtype=self.dtype, name="backbone")(
                           images, out_indices=self.out_indices)
         depth = DPTNeckHead(self.neck_channels, self.fusion,
                             self.head_hidden, self.patch_size,
-                            name="dpt")(taps, g)
+                            dtype=self.dtype, name="dpt")(taps, g)
         if raw:
             return depth
         lo = jnp.min(depth, axis=(1, 2), keepdims=True)

@@ -44,6 +44,42 @@ class TestDINOv2:
         for t in taps:
             assert t.shape == (2, 17, 64)   # 4*4 patches + CLS
 
+    def test_bf16_compute_matches_f32(self):
+        """dtype=bfloat16 (the TPU inference configuration used by bench.py
+        and the real-weights factories) must agree with f32 to bf16
+        precision: params/softmax/outputs stay f32, only block compute is
+        cast."""
+        kw = dict(width=64, depth=2, heads=2, image_size=56)
+        m32 = DINOv2(**kw)
+        m16 = DINOv2(dtype=jnp.bfloat16, **kw)
+        x = jnp.asarray(np.random.default_rng(0).uniform(
+            size=(1, 56, 56, 3)).astype(np.float32))
+        params = m32.init(jax.random.PRNGKey(0), x)
+        f32 = np.asarray(m32.apply(params, x))
+        f16 = np.asarray(m16.apply(params, x))   # same f32 params
+        assert f16.dtype == np.float32           # outputs cast back
+        # Feature-level agreement: high correlation, bounded rel error.
+        denom = np.maximum(np.abs(f32).max(), 1e-6)
+        assert np.abs(f16 - f32).max() / denom < 0.05
+        c = np.corrcoef(f32.ravel(), f16.ravel())[0, 1]
+        assert c > 0.999
+
+    def test_depth_anything_bf16_matches_f32(self):
+        kw = dict(width=64, depth=4, heads=2, out_size=32, image_size=56,
+                  out_indices=(1, 2, 3, 4), neck_channels=(8, 16, 32, 64),
+                  fusion=16, head_hidden=8)
+        m32 = DepthAnything(**kw)
+        m16 = DepthAnything(dtype=jnp.bfloat16, **kw)
+        x = jnp.asarray(np.random.default_rng(1).uniform(
+            size=(1, 56, 56, 3)).astype(np.float32))
+        params = m32.init(jax.random.PRNGKey(0), x)
+        d32 = np.asarray(m32.apply(params, x))
+        d16 = np.asarray(m16.apply(params, x))
+        assert d16.dtype == np.float32
+        # Depth is min-max normalized to [0,1]; absolute agreement.
+        assert np.abs(d16 - d32).max() < 0.1
+        assert np.corrcoef(d32.ravel(), d16.ravel())[0, 1] > 0.99
+
     def test_depth_anything_output(self):
         model = DepthAnything(width=64, depth=4, heads=2, out_size=32,
                               image_size=56, out_indices=(1, 2, 3, 4),
