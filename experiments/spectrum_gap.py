@@ -15,23 +15,7 @@ import sys
 import numpy as np
 from PIL import Image
 
-
-def radial_power(img: np.ndarray, n_bands: int = 8):
-    """Luminance radial power spectrum binned into octave-ish bands.
-
-    Returns (band_edges, band_power) where band_power[i] is the total
-    |F|^2 in [edges[i], edges[i+1]) cycles/image, DC excluded."""
-    lum = img @ np.array([0.299, 0.587, 0.114])
-    f = np.fft.fftshift(np.fft.fft2(lum - lum.mean()))
-    p = np.abs(f) ** 2
-    h, w = lum.shape
-    yy, xx = np.mgrid[0:h, 0:w]
-    r = np.hypot(yy - h / 2, xx - w / 2)
-    # Octave edges from 2 cycles/image to Nyquist.
-    edges = np.geomspec = np.geomspace(2.0, min(h, w) / 2.0, n_bands + 1)
-    power = np.array([p[(r >= lo) & (r < hi)].sum()
-                      for lo, hi in zip(edges[:-1], edges[1:])])
-    return edges, power
+from fresnel_tpu.evaluation.spectrum import radial_power
 
 
 def grid_band_ratios(path: str, n_bands: int = 8):

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from fresnel_tpu.core.camera import Camera
+from fresnel_tpu.evaluation.spectrum import band_labels, band_power_ratio
 from fresnel_tpu.evaluation.visual_eval import compute_psnr, compute_ssim
 from fresnel_tpu.render.tile import TileRendererConfig, render_tiled
 
@@ -60,6 +61,7 @@ def evaluate_novel_views(
     pv_ssim: Dict[str, List[float]] = {str(az): [] for az in azimuths_deg}
     pv_psnr: Dict[str, List[float]] = {str(az): [] for az in azimuths_deg}
     frontal_ssim, frontal_psnr = [], []
+    spec_ratios: List[np.ndarray] = []   # frontal per-band power ratios
     coverage_matrix = []                 # (samples, views)
 
     for s in samples:
@@ -76,6 +78,13 @@ def evaluate_novel_views(
                                       "linear")
         frontal_ssim.append(compute_ssim(views[0], target))
         frontal_psnr.append(compute_psnr(views[0], target))
+        # Spectral texture diagnostic (see evaluation/spectrum.py): the
+        # per-octave render/target power ratio localizes WHICH spatial
+        # scales the decoder reproduces (T-038: the loss cliff sits at the
+        # patch-grid Nyquist).
+        spec_edges, ratio = band_power_ratio(np.asarray(views[0]),
+                                             np.asarray(target))
+        spec_ratios.append(ratio)
         gt_views = s.get("views")
         if gt_views is not None:
             gt_views = jnp.asarray(gt_views)
@@ -96,6 +105,11 @@ def evaluate_novel_views(
         if len(cov) else 0.0,
         "num_samples": len(samples),
     }
+    if spec_ratios:
+        results["spectrum_band_ratio"] = {
+            k: round(float(v), 4)
+            for k, v in zip(band_labels(spec_edges),
+                            np.mean(spec_ratios, axis=0))}
     if any(pv_ssim[k] for k in pv_ssim):
         results["per_view_ssim"] = {
             k: float(np.mean(v)) for k, v in pv_ssim.items() if v}

@@ -116,6 +116,31 @@ class TestEvaluators:
         assert json.loads(out.read_text())["frontal_ssim"] == pytest.approx(
             res["frontal_ssim"])
 
+    def test_spectrum_band_ratio(self, cloud):
+        """Self-render target -> every band ratio ~1; eval JSON carries the
+        spectral texture diagnostic (evaluation/spectrum.py)."""
+        from fresnel_tpu.evaluation.novel_view_eval import (
+            evaluate_novel_views, render_views)
+        from fresnel_tpu.evaluation.spectrum import band_power_ratio
+
+        g = {"positions": cloud.positions, "scales": cloud.scales,
+             "rotations": cloud.rotations, "colors": cloud.colors,
+             "opacities": cloud.opacities}
+        target = render_views(g, 64, [0.0])[0]
+        res = evaluate_novel_views([{"gaussians": g, "target": target}],
+                                   render_size=64, azimuths_deg=[0.0])
+        assert len(res["spectrum_band_ratio"]) == 8
+        for v in res["spectrum_band_ratio"].values():
+            assert v == pytest.approx(1.0, abs=1e-3)
+        # Blurred render loses high bands, keeps low bands.
+        import numpy as np
+        t = np.asarray(target)
+        blur = t.copy()
+        blur[:, 1:-1, 1:-1] = (t[:, :-2, 1:-1] + t[:, 2:, 1:-1] +
+                               t[:, 1:-1, :-2] + t[:, 1:-1, 2:]) / 4
+        edges, ratio = band_power_ratio(blur, t)
+        assert ratio[0] > ratio[-1]
+
     def test_novel_view_eval_gt_views(self, cloud):
         """corpus_v2 path: a sample carrying GT orbit views gets per-view
         SSIM/PSNR vs those views.  Self-render GT -> perfect scores."""
