@@ -16,6 +16,29 @@ import os
 from pathlib import Path
 
 
+def _machine_fingerprint() -> str:
+    """Short hash of the host CPU feature set (+ jax version).
+
+    XLA:CPU AOT-compiles against the *compiling* machine's features; the
+    VM this repo runs on can be reset and land on different hardware while
+    $HOME survives, and loading a stale cache entry then risks SIGILL
+    (cpu_aot_loader logs 'Machine type ... doesn't match'). Keying the
+    cache directory by the feature set makes each machine generation get
+    its own cache instead of tripping over the last one's.
+    """
+    import hashlib
+
+    import jax
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((ln for ln in f if ln.startswith("flags")), "")
+    except OSError:
+        flags = ""
+    key = f"{jax.__version__}|{flags}".encode()
+    return hashlib.sha256(key).hexdigest()[:12]
+
+
 def enable_compilation_cache() -> None:
     """Point JAX's persistent compile cache at a per-user dir (idempotent).
 
@@ -30,7 +53,7 @@ def enable_compilation_cache() -> None:
         return  # user already configured it via env
     cache_dir = Path(
         os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
-    ) / "fresnel_tpu" / "jax_cache"
+    ) / "fresnel_tpu" / "jax_cache" / _machine_fingerprint()
     try:
         cache_dir.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(cache_dir))

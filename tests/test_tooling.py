@@ -480,3 +480,59 @@ class TestDepthDatasets:
         assert n == 1
         d = np.fromfile(tmp_path / "a_pseudo_depth.bin", np.float32)
         assert d.size == 64 * 64 and np.isfinite(d).all()
+
+
+class TestReconstructSidecar:
+    """reconstruct_sidecar rebuilds a lost <ckpt>.json from the run's CLI
+    flags via the trainer's own parser+configs path, so eval/resume can
+    reopen durable results/ checkpoints after a VM reset."""
+
+    def test_sidecar_round_trips_through_eval_loader(self, tmp_path):
+        from fresnel_tpu.train.reconstruct_sidecar import main, reconstruct
+        from fresnel_tpu.train.config import (HFGSConfig, HFTSConfig,
+                                              PhysicsConfig, TrainingConfig)
+
+        ckpt = tmp_path / "model.msgpack"
+        ckpt.write_bytes(b"")  # sidecar generation never reads the weights
+        out = reconstruct(str(ckpt), [
+            "--experiment", "2", "--data_dir", "data/corpus_v1",
+            "--batch_size", "8", "--lr", "2e-4", "--max_per_tile", "1024",
+            "--depth_offset_init", "-0.128", "--surface_init",
+            "--no_augmentation", "--train_encoder",
+        ], epoch=300)
+        meta = json.loads(out.read_text())
+        # The exact construction cmd_eval performs (cli.py:cmd_eval).
+        cfg = TrainingConfig(**meta["config"])
+        PhysicsConfig(**meta["physics_config"])
+        HFGSConfig(**meta["hfgs_config"])
+        HFTSConfig(**meta["hfts_config"])
+        assert meta["epoch"] == 300
+        assert cfg.train_encoder and cfg.max_per_tile == 1024
+        assert not cfg.use_augmentation
+        # --surface_init rewrites the head biases (train_gaussian_decoder).
+        assert cfg.scale_bias == -2.6 and cfg.opacity_bias == 1.5
+
+        # CLI form: `ckpt --epoch N -- flags...`
+        assert main([str(ckpt), "--epoch", "7", "--",
+                     "--experiment", "4", "--n_spiral_points", "377"]) == 0
+        meta = json.loads(out.read_text())
+        assert meta["epoch"] == 7
+        assert TrainingConfig(**meta["config"]).n_spiral_points == 377
+
+
+class TestCompileCache:
+    def test_cache_dir_is_machine_fingerprinted(self, monkeypatch, tmp_path):
+        """Stale AOT entries from a pre-reset VM with different CPU
+        features SIGILL on load; each machine generation gets its own
+        cache subdir keyed by the host flag set."""
+        from fresnel_tpu.utils import compile_cache as cc
+
+        fp = cc._machine_fingerprint()
+        assert len(fp) == 12 and fp == cc._machine_fingerprint()
+        monkeypatch.setenv("XDG_CACHE_HOME", str(tmp_path))
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        monkeypatch.delenv("FRESNEL_NO_COMPILATION_CACHE", raising=False)
+        cc.enable_compilation_cache()
+        import jax
+        assert jax.config.jax_compilation_cache_dir == str(
+            tmp_path / "fresnel_tpu" / "jax_cache" / fp)
