@@ -718,6 +718,13 @@ class Trainer:
         epoch = 0
         if meta_path.exists():
             epoch = json.loads(meta_path.read_text()).get("epoch", 0)
+        else:
+            # A missing sidecar would otherwise restart schedules at
+            # epoch 0 with converged weights — a silently wrong resume.
+            print(f"WARNING: no config sidecar at {meta_path}; resuming "
+                  f"at epoch 0 (LR schedule restarts). Rebuild it with "
+                  f"python -m fresnel_tpu.train.reconstruct_sidecar",
+                  flush=True)
         state = {"params": payload["params"],
                  "opt_state": payload["opt_state"],
                  "step": payload["step"]}
