@@ -191,6 +191,17 @@ class DirectPatchDecoder(nn.Module):
     # per-Gaussian residual (tanh * scale).
     depth_z_scale: float = -2.0
     z_offset_scale: float = 0.0
+    # Decode on an f x finer patch lattice (TPU addition, no reference
+    # equivalent).  T-038's spectral analysis localized the texture cliff
+    # at the 37x37 patch grid's Nyquist (~18.5 cycles/image): every decoder
+    # reproduces structure up to its patch sampling rate and almost nothing
+    # beyond, and T-040 showed doubling per-patch K does NOT move the
+    # >16-cycle bands — the lattice, not K, is the bottleneck.  With
+    # feature_upsample=f the feature grid is bilinearly upsampled f x and
+    # locally refined by a small learned conv stack before the per-patch
+    # MLP, doubling (f=2) the lattice Nyquist at equal Gaussian budget
+    # (74x74 x K/4 == 37x37 x K).
+    feature_upsample: int = 1
 
     @property
     def output_per_gaussian(self) -> int:
@@ -208,6 +219,16 @@ class DirectPatchDecoder(nn.Module):
         return_raw: bool = False,               # add "raw" (B,H,W,K,opg)
     ) -> Dict[str, jax.Array]:
         B, H, W, C = features.shape
+        if self.feature_upsample > 1:
+            f = self.feature_upsample
+            H, W = H * f, W * f
+            up = jax.image.resize(features, (B, H, W, C), method="linear")
+            # Learned local refinement so adjacent sub-patches can
+            # differentiate (bilinear alone would emit near-duplicate rows
+            # into the per-patch MLP).
+            up = up + nn.Conv(C, (3, 3), name="upsample_refine")(
+                nn.gelu(nn.Conv(C, (3, 3), name="upsample_conv")(up)))
+            features = up
         full_K = self.gaussians_per_patch
         K = min(num_gaussians, full_K) if num_gaussians is not None else full_K
         opg = self.output_per_gaussian

@@ -141,6 +141,11 @@ class TrainingConfig:
     # >0 re-enables the raw z channel as tanh(raw)*scale residual on the
     # depth lock (identifiable only with multi-view supervision).
     z_offset_scale: float = 0.0
+    # Decode on an f x finer patch lattice (models/decoders.py): bilinear
+    # feature upsample + learned conv refinement before the per-patch MLP.
+    # Attacks the 37x37-grid Nyquist texture cliff (T-038/T-040) directly;
+    # 1 = off (reference parity).  Experiment 2 only.
+    feature_upsample: int = 1
 
 
 @dataclasses.dataclass

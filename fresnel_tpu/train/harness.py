@@ -77,6 +77,7 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
             depth_feature_dim=config.depth_feature_dim,
             depth_z_scale=getattr(config, "depth_z_scale", -2.0),
             z_offset_scale=getattr(config, "z_offset_scale", 0.0),
+            feature_upsample=getattr(config, "feature_upsample", 1),
             **head_bias, **common)
     if config.experiment == 4:
         from fresnel_tpu.models.fibonacci import FibonacciPatchDecoder

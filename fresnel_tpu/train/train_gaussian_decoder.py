@@ -130,6 +130,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--z_offset_scale", type=float, default=0.0,
                    help=">0 re-enables the raw z channel as a bounded "
                         "per-Gaussian residual on the depth lock")
+    p.add_argument("--feature_upsample", type=int, default=1,
+                   help="Decode on an f x finer patch lattice (bilinear "
+                        "feature upsample + learned conv refinement); "
+                        "attacks the patch-grid Nyquist texture cliff "
+                        "(T-038/T-040).  Experiment 2 only")
     p.add_argument("--surface_init", action="store_true",
                    help="Umbrella: start decoder heads at surface-like "
                         "outputs (scale_bias=-2.6, opacity_bias=1.5) — "
@@ -235,6 +240,7 @@ def configs_from_args(args):
         view_weight=args.view_weight,
         depth_z_scale=args.depth_z_scale,
         z_offset_scale=args.z_offset_scale,
+        feature_upsample=args.feature_upsample,
     )
     physics = PhysicsConfig(
         use_wave_rendering=args.use_wave_rendering,

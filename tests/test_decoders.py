@@ -40,6 +40,30 @@ class TestDirectPatchDecoder:
         norms = jnp.linalg.norm(out["rotations"], axis=-1)
         np.testing.assert_allclose(norms, np.ones_like(norms), atol=1e-4)
 
+    def test_feature_upsample_finer_lattice(self):
+        # feature_upsample=2 decodes on a 74x74 lattice: 74*74*K Gaussians,
+        # base-grid pitch halved, gradients flow into the refinement convs.
+        feats, depth = dummy_inputs(b=1, grid=16)
+        model = DirectPatchDecoder(gaussians_per_patch=2, feature_upsample=2)
+        params = model.init(jax.random.PRNGKey(0), feats, depth)
+        out = model.apply(params, feats, depth)
+        N = 32 * 32 * 2
+        assert out["positions"].shape == (1, N, 3)
+        assert "upsample_conv" in params["params"]
+
+        # Base lattice is genuinely finer: unique x cells ~= 32, not 16.
+        xs = out["positions"][0, :, 0]
+        assert len(np.unique(np.round(np.asarray(xs), 3))) > 16 * 2
+
+        def loss(p):
+            o = model.apply(p, feats, depth)
+            return jnp.sum(o["positions"] ** 2) + jnp.sum(o["colors"])
+
+        g = jax.grad(loss)(params)
+        gnorm = jnp.linalg.norm(
+            g["params"]["upsample_conv"]["kernel"])
+        assert float(gnorm) > 0
+
     def test_z_locked_to_depth(self):
         feats, _ = dummy_inputs()
         depth = jnp.full((2, 64, 64), 0.5, jnp.float32)

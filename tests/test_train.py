@@ -60,6 +60,20 @@ class TestTrainer:
         hist = json.loads((tmp_path / "loss_history.json").read_text())
         assert "rgb" in hist
 
+    def test_feature_upsample_trains(self, tiny_dataset, tmp_path):
+        # Finer-lattice decoder (T-040 attack): one step end to end, and
+        # the checkpoint sidecar round-trips the feature_upsample field.
+        cfg = tiny_config(tmp_path, epochs=1, feature_upsample=2,
+                          gaussians_per_patch=1)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        trainer.fit(tiny_dataset)
+        assert np.isfinite(trainer.history["total"][0])
+        meta = json.loads(
+            (tmp_path / "final_model.msgpack.json").read_text())
+        assert meta["config"]["feature_upsample"] == 2
+
     def test_segmented_fit_resumes_schedule(self, tiny_dataset, tmp_path):
         """start_epoch/stop_epoch segments (T-026 OOM workaround): two
         segments must cover exactly the full epoch range, write a resume
