@@ -25,6 +25,16 @@ import numpy as np
 
 
 def main():
+    # Queue discipline (round-3 lesson: a training job overlapping the
+    # end-of-round snapshot inflated the official record 3.8x).  Wait for
+    # any in-flight cloud/*.sh training segment to release the chip before
+    # compiling/timing; bounded so a wedged holder can't block the driver.
+    from fresnel_tpu.utils.tpu_lock import tpu_lock
+    with tpu_lock(timeout_s=1500.0):
+        _run()
+
+
+def _run():
     import jax
     import jax.numpy as jnp
 
