@@ -213,6 +213,115 @@ class TeacherMultiviewDataset:
     batches = GaussianBootstrapDataset.batches
 
 
+class GTMultiviewDataset:
+    """Exact-GT multiview pairs from corpus_v2's raytraced orbit views.
+
+    corpus_v2 ships {scene}_views.npz sidecars: 8 raytraced views on the
+    el=0, distance-2 orbit — the SAME camera convention as
+    evaluation/novel_view_eval.py:render_views — so pairs carry exact
+    relative poses and true 3-D targets.  This removes the teacher proxy's
+    own fit error (~0.015 SSIM, T-023) from the training signal that
+    TeacherMultiviewDataset tolerates; T-037 showed conditioning quality is
+    CVS's binding constraint, so cleaner pairs are the next lever.
+
+    Sample contract matches GaussianBootstrapDataset (input_image CHW,
+    features (37,37,C) of the input view, R_rel/t_rel, target_image CHW).
+    target_depth is all-zeros: corpus_v2 has no per-view GT depth; the
+    quality-aware mask (Laplacian-based) degrades to uniform on it.
+    """
+
+    def __init__(self, data_dir: str = "data/corpus_v2",
+                 image_size: int = 256, views_per_scene: int = 4,
+                 max_scenes: Optional[int] = None, seed: int = 0,
+                 feature_dim: int = 384, cache: Optional[str] = None):
+        import jax.numpy as jnp
+
+        if cache and Path(cache).exists():
+            with np.load(cache) as z:
+                keys = ("input_image", "features", "R_rel", "t_rel",
+                        "target_image", "target_depth")
+                arrs = {k: z[k] for k in keys}
+            n = arrs["input_image"].shape[0]
+            self._samples = [{k: arrs[k][i] for k in keys}
+                             for i in range(n)]
+            self.image_size = image_size
+            return
+
+        from fresnel_tpu.core.camera import Camera
+        from fresnel_tpu.data.dataset import cache_paths
+        from fresnel_tpu.models.encoders import create_feature_extractor
+
+        self.image_size = image_size
+        rng = np.random.default_rng(seed)
+        extractor = None
+
+        scenes = [p for p in sorted(Path(data_dir).glob("*.png"))
+                  if p.with_name(p.stem + "_views.npz").exists()]
+        if max_scenes:
+            scenes = scenes[:max_scenes]
+        if not scenes:
+            raise FileNotFoundError(
+                f"no *_views.npz sidecars under {data_dir} — generate "
+                "corpus_v2 (cloud/make_corpus.sh) first")
+
+        def _resize_hwc(img: np.ndarray, s: int) -> np.ndarray:
+            import jax
+            return np.asarray(jax.image.resize(
+                jnp.asarray(img), (s, s, 3), method="linear"))
+
+        zdepth = np.zeros((image_size, image_size), np.float32)
+        self._samples = []
+        for p in scenes:
+            with np.load(p.with_name(p.stem + "_views.npz")) as z:
+                views = z["images"].astype(np.float32) / 255.0  # (V,S,S,3)
+                az_deg = z["azimuths_deg"].astype(np.float32)
+            if views.shape[1] != image_size:
+                views = np.stack([_resize_hwc(v, image_size)
+                                  for v in views])
+            frontal = int(np.argmin(np.abs(az_deg)))
+            inp_hwc = views[frontal]
+
+            feat_path = cache_paths(p, image_size, feature_dim)[1]
+            if feat_path.exists():
+                g = 37
+                feats = np.fromfile(feat_path, np.float32).reshape(
+                    g, g, feature_dim)
+            else:
+                if extractor is None:
+                    extractor = create_feature_extractor(dim=feature_dim)
+                feats = np.asarray(extractor(jnp.asarray(inp_hwc)))
+
+            cams = [Camera.from_pose(0.0, float(np.radians(a)), image_size,
+                                     distance=2.0) for a in az_deg]
+            mats = [(np.asarray(c.view[:3, :3]), np.asarray(c.view[:3, 3]))
+                    for c in cams]
+            others = [i for i in range(len(az_deg)) if i != frontal]
+            picks = rng.choice(len(others), size=min(views_per_scene - 1,
+                                                     len(others)),
+                               replace=False)
+            for j in (others[k] for k in picks):
+                R_rel = mats[j][0] @ mats[frontal][0].T
+                t_rel = mats[j][1] - R_rel @ mats[frontal][1]
+                self._samples.append({
+                    "input_image": inp_hwc.transpose(2, 0, 1),
+                    "features": feats,
+                    "R_rel": R_rel.astype(np.float32),
+                    "t_rel": t_rel.astype(np.float32),
+                    "target_image": views[j].transpose(2, 0, 1),
+                    "target_depth": zdepth,
+                })
+
+        if cache:
+            keys = self._samples[0].keys()
+            np.savez(cache, **{k: np.stack([s[k] for s in self._samples])
+                               for k in keys})
+
+    def __len__(self):
+        return len(self._samples)
+
+    batches = GaussianBootstrapDataset.batches
+
+
 @dataclasses.dataclass
 class CVSTrainConfig:
     output_dir: str = "checkpoints_cvs"
@@ -487,6 +596,10 @@ def main(argv=None):
                    help="corpus dir with *_teacher.npz sidecars -> train "
                         "on TeacherMultiviewDataset orbit pairs instead "
                         "of the synthetic bootstrap clouds")
+    p.add_argument("--gt_multiview", action="store_true",
+                   help="train on corpus_v2's raytraced exact-GT orbit "
+                        "pairs ({scene}_views.npz) instead of teacher-fit "
+                        "renders — true 3-D targets, exact poses")
     p.add_argument("--views_per_scene", type=int, default=4)
     p.add_argument("--max_scenes", type=int, default=None)
     p.add_argument("--dataset_cache", default=None,
@@ -515,7 +628,13 @@ def main(argv=None):
         base_channels=args.base_channels,
         use_quality_aware=args.use_quality_aware, use_amp=args.use_amp,
         concat_input_view=args.concat_input_view, seed=args.seed)
-    if args.data_dir:
+    if args.gt_multiview:
+        dataset = GTMultiviewDataset(
+            args.data_dir or "data/corpus_v2", image_size=cfg.image_size,
+            views_per_scene=args.views_per_scene,
+            max_scenes=args.max_scenes, seed=cfg.seed,
+            cache=args.dataset_cache)
+    elif args.data_dir:
         dataset = TeacherMultiviewDataset(
             args.data_dir, image_size=cfg.image_size,
             views_per_scene=args.views_per_scene,

@@ -328,3 +328,50 @@ class TestTeacherMultiviewDataset:
 
         with pytest.raises(FileNotFoundError, match="teacher"):
             TeacherMultiviewDataset(str(tmp_path), image_size=32)
+
+
+class TestGTMultiviewDataset:
+    def test_pairs_from_views_sidecars(self, tmp_path):
+        """Exact-GT CVS pairs from corpus_v2-style {scene}_views.npz:
+        frontal input + non-frontal targets with valid relative poses,
+        cache round-trip included (train_cvs.GTMultiviewDataset)."""
+        from PIL import Image
+
+        from fresnel_tpu.train.train_cvs import GTMultiviewDataset
+
+        rng = np.random.default_rng(0)
+        S = 32
+        az = np.array([0.0, 90.0, 180.0, 270.0], np.float32)
+        for name in ("a", "b"):
+            views = rng.uniform(0.1, 0.9, (4, S, S, 3))
+            Image.fromarray(
+                (views[0] * 255).astype(np.uint8)).save(
+                    tmp_path / f"{name}.png")
+            np.savez(tmp_path / f"{name}_views.npz",
+                     images=(views * 255).astype(np.uint8),
+                     azimuths_deg=az)
+
+        cache = str(tmp_path / "gt_cache.npz")
+        ds = GTMultiviewDataset(str(tmp_path), image_size=S,
+                                views_per_scene=3, seed=1, cache=cache)
+        assert len(ds) == 4                      # 2 scenes x 2 targets
+        ds_cached = GTMultiviewDataset(str(tmp_path), image_size=S,
+                                       cache=cache)
+        assert len(ds_cached) == 4
+        np.testing.assert_array_equal(
+            ds_cached._samples[0]["target_image"],
+            ds._samples[0]["target_image"])
+        b = next(iter(ds.batches(2, np.random.default_rng(0))))
+        assert b["input_image"].shape == (2, 3, S, S)
+        assert b["target_image"].shape == (2, 3, S, S)
+        assert b["features"].shape == (2, 37, 37, 384)
+        assert not np.allclose(b["input_image"], b["target_image"])
+        RtR = np.einsum("bij,bik->bjk", b["R_rel"], b["R_rel"])
+        np.testing.assert_allclose(
+            RtR, np.broadcast_to(np.eye(3), (2, 3, 3)), atol=1e-5)
+
+    def test_missing_views_raise(self, tmp_path):
+        from fresnel_tpu.train.train_cvs import GTMultiviewDataset
+
+        with pytest.raises(FileNotFoundError, match="views"):
+            GTMultiviewDataset(str(tmp_path), image_size=32)
