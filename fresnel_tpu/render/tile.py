@@ -64,7 +64,12 @@ class TileRendererConfig:
                                  # see pallas_stream_binning.py) |
                                  # "rows" (two-stage row-segment: per-tile-
                                  # row lists then per-tile — ~50x less
-                                 # table traffic than search at 1M) |
+                                 # rank-TABLE traffic than search on
+                                 # paper, but MEASURED 3-12x SLOWER on
+                                 # v5e at 200k-5M (T-042): auto row
+                                 # capacity grows ~4N/nty, so the stage-2
+                                 # hit/cumsum work scales ~4*N*ntx and
+                                 # erases the saving; opt-in only) |
                                  # "chunked" (table-free: MXU chunk totals +
                                  # on-demand in-chunk ranks; opt-in — its
                                  # (T, M, 256) level-2 gather measured 4-6x

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional, Tuple
@@ -719,13 +720,23 @@ class Trainer:
         epoch = 0
         if meta_path.exists():
             epoch = json.loads(meta_path.read_text()).get("epoch", 0)
+        elif os.environ.get("FRESNEL_ALLOW_MISSING_SIDECAR"):
+            # Explicit opt-out for checkpoints that genuinely have no
+            # epoch provenance (e.g. hand-exported weights).
+            print(f"WARNING: no config sidecar at {meta_path}; resuming "
+                  f"at epoch 0 (LR schedule restarts)", flush=True)
         else:
             # A missing sidecar would otherwise restart schedules at
-            # epoch 0 with converged weights — a silently wrong resume.
-            print(f"WARNING: no config sidecar at {meta_path}; resuming "
-                  f"at epoch 0 (LR schedule restarts). Rebuild it with "
-                  f"python -m fresnel_tpu.train.reconstruct_sidecar",
-                  flush=True)
+            # epoch 0 with converged weights — a silently wrong resume
+            # that unattended queue runs would never notice (a round-3
+            # queue did exactly this).  Fail loudly instead.
+            raise FileNotFoundError(
+                f"no config sidecar at {meta_path} — resuming without it "
+                f"restarts the LR schedule at epoch 0 with converged "
+                f"weights.  Rebuild it (python -m "
+                f"fresnel_tpu.train.reconstruct_sidecar) or set "
+                f"FRESNEL_ALLOW_MISSING_SIDECAR=1 to resume at epoch 0 "
+                f"anyway.")
         state = {"params": payload["params"],
                  "opt_state": payload["opt_state"],
                  "step": payload["step"]}

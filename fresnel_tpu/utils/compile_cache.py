@@ -27,15 +27,26 @@ def _machine_fingerprint() -> str:
     its own cache instead of tripping over the last one's.
     """
     import hashlib
+    import platform
 
     import jax
 
+    # x86 exposes "flags", aarch64 "Features"; also fold in the model name
+    # and machine arch so ANY migration across machine generations rolls
+    # the key even if the feature line is missing or identical in prefix.
+    feature = ""
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next((ln for ln in f if ln.startswith("flags")), "")
+            for ln in f:
+                if ln.startswith(("flags", "Features", "model name")):
+                    feature += ln
+                    if len(feature) > 4096:
+                        break
     except OSError:
-        flags = ""
-    key = f"{jax.__version__}|{flags}".encode()
+        pass
+    backend = os.environ.get("JAX_PLATFORMS", "")
+    key = (f"{jax.__version__}|{platform.machine()}|{backend}|"
+           f"{feature}").encode()
     return hashlib.sha256(key).hexdigest()[:12]
 
 

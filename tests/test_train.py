@@ -158,6 +158,26 @@ class TestTrainer:
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_missing_sidecar_raises(self, tiny_dataset, tmp_path,
+                                    monkeypatch):
+        # A resume without the .msgpack.json sidecar silently restarts LR
+        # schedules at epoch 0 — unattended queues must fail loudly
+        # (advisor r3), with an env opt-out for hand-exported weights.
+        cfg = tiny_config(tmp_path)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        state = trainer.init_state(batch)
+        trainer.save_checkpoint(tmp_path / "ck.msgpack", state, 3)
+        (tmp_path / "ck.msgpack.json").unlink()
+        with pytest.raises(FileNotFoundError, match="sidecar"):
+            trainer.load_checkpoint(tmp_path / "ck.msgpack", batch)
+        monkeypatch.setenv("FRESNEL_ALLOW_MISSING_SIDECAR", "1")
+        _, epoch = trainer.load_checkpoint(tmp_path / "ck.msgpack", batch)
+        assert epoch == 0
+
     def test_step_updates_params(self, tiny_dataset, tmp_path):
         cfg = tiny_config(tmp_path)
         trainer = Trainer(cfg, PhysicsConfig(),
