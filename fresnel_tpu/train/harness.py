@@ -95,6 +95,7 @@ def build_decoder(config: TrainingConfig, physics_config: PhysicsConfig):
         from fresnel_tpu.models.nca import NCAGaussianDecoder
         return NCAGaussianDecoder(
             feature_dim=config.feature_dim,
+            n_points=config.n_spiral_points,
             n_steps=config.nca_steps,
             k_neighbors=config.nca_neighbors,
             step_size=config.nca_step_size,
