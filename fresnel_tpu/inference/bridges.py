@@ -113,13 +113,91 @@ def cmd_decoder(argv) -> int:
     return 0
 
 
+def cmd_test_novel_views(argv) -> int:
+    """Validation mode: image -> decode -> orbit renders, saved as PNGs.
+
+    Mirrors the reference's `test_novel_views` debug entry (reference:
+    scripts/inference/decoder_inference.py:147-280) — a checkpoint sanity
+    check that the decoder does not produce dark/black novel views before
+    CVS data regeneration.  Prints one 'az=<deg> mean=<brightness>
+    coverage=<frac>' line per view plus PASS/DARK."""
+    if len(argv) < 2:
+        print("usage: test_novel_views IMAGE OUT_DIR [checkpoint] "
+              "[num_views] [size]", file=sys.stderr)
+        return 1
+    import jax
+    import jax.numpy as jnp
+
+    from fresnel_tpu.evaluation.novel_view_eval import render_views
+    from fresnel_tpu.models.decoders import DirectPatchDecoder
+    from fresnel_tpu.models.encoders import (create_feature_extractor,
+                                             gradient_depth_estimate)
+
+    out_dir = Path(argv[1])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    ckpt = argv[2] if len(argv) > 2 and argv[2] != "-" else None
+    num_views = int(argv[3]) if len(argv) > 3 else 8
+    size = int(argv[4]) if len(argv) > 4 else 256
+
+    img = _load_any_image(argv[0], 518)
+    feats = np.asarray(create_feature_extractor(dim=384)(img),
+                       np.float32)[None]
+    depth = np.asarray(gradient_depth_estimate(img, 256), np.float32)[None]
+
+    if ckpt and Path(ckpt).exists():
+        import json as _json
+        from fresnel_tpu.train.config import (
+            HFGSConfig, HFTSConfig, PhysicsConfig, TrainingConfig)
+        from fresnel_tpu.train.harness import Trainer
+
+        meta = _json.loads(Path(ckpt + ".json").read_text())
+        trainer = Trainer(TrainingConfig(**meta["config"]),
+                          PhysicsConfig(**meta["physics_config"]),
+                          HFGSConfig(**meta["hfgs_config"]),
+                          HFTSConfig(**meta["hfts_config"]))
+        batch = {"features": feats, "depth": depth,
+                 "image": np.zeros(
+                     (1, 3, trainer.config.image_size,
+                      trainer.config.image_size), np.float32)}
+        state, _ = trainer.load_checkpoint(ckpt, batch)
+        model, params = trainer.model, state["params"]["model"]
+    else:
+        model = DirectPatchDecoder(feature_dim=384, gaussians_per_patch=4)
+        params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                            jnp.asarray(depth))
+
+    out = model.apply(params, jnp.asarray(feats), jnp.asarray(depth))
+    gaussians = {k: out[k][0] for k in ("positions", "scales", "rotations",
+                                        "colors", "opacities")}
+    azimuths = tuple(np.linspace(0.0, 360.0, num_views, endpoint=False))
+    views = np.asarray(render_views(gaussians, render_size=size,
+                                    azimuths_deg=azimuths))
+
+    from PIL import Image
+
+    dark = 0
+    for az, v in zip(azimuths, views):
+        mean = float(v.mean())
+        coverage = float((v.max(axis=0) > 0.02).mean())
+        print(f"az={az:.0f} mean={mean:.4f} coverage={coverage:.3f}")
+        if mean < 0.01:
+            dark += 1
+        Image.fromarray(
+            (np.clip(v.transpose(1, 2, 0), 0, 1) * 255).astype(np.uint8)
+        ).save(out_dir / f"novel_view_az{int(az):03d}.png")
+    print("DARK" if dark else "PASS")
+    return 1 if dark else 0
+
+
 def main(argv=None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
-        print("usage: bridges {dinov2|depth|decoder} ...", file=sys.stderr)
+        print("usage: bridges {dinov2|depth|decoder|test_novel_views} ...",
+              file=sys.stderr)
         return 1
     return {"dinov2": cmd_dinov2, "depth": cmd_depth,
-            "decoder": cmd_decoder}[argv[0]](argv[1:])
+            "decoder": cmd_decoder,
+            "test_novel_views": cmd_test_novel_views}[argv[0]](argv[1:])
 
 
 if __name__ == "__main__":

@@ -45,6 +45,7 @@ def compute_losses(
     hfgs_config: Optional[HFGSConfig] = None,
     learnable_wavelengths_raw: Optional[jax.Array] = None,  # raw (3,)
     fresnel_zones: Optional[FresnelZones] = None,
+    boundary_emphasis: Optional[jax.Array] = None,  # (num_zones + 1,)
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     config = config or TrainingConfig()
     loss_dict: Dict[str, jax.Array] = {}
@@ -94,7 +95,8 @@ def compute_losses(
 
     if (fresnel_zones is not None and config.boundary_weight > 0
             and target_depth is not None):
-        bm = fresnel_zones.boundary_mask(target_depth)           # (B, H, W)
+        bm = fresnel_zones.boundary_mask(
+            target_depth, emphasis=boundary_emphasis)            # (B, H, W)
         pixel_loss = jnp.mean(jnp.abs(rendered - target), axis=1)
         b_l = jnp.mean(pixel_loss * bm)
         loss_dict["boundary"] = b_l

@@ -97,12 +97,30 @@ class FresnelZones:
         return self.zone_centers[self.quantize_depth(depth)]
 
     def boundary_mask(self, depth: jax.Array,
-                      threshold: Optional[float] = None) -> jax.Array:
+                      threshold: Optional[float] = None,
+                      emphasis: Optional[jax.Array] = None) -> jax.Array:
+        """Per-pixel proximity-to-zone-boundary mask.
+
+        `emphasis` is an optional LEARNABLE per-boundary multiplier
+        (num_zones + 1,) — the reference declares exactly this parameter
+        (scripts/utils/fresnel_zones.py:94 `boundary_emphasis =
+        nn.Parameter(torch.ones(num_zones + 1))`) but never consumes it;
+        here it weights each boundary's contribution so training can
+        learn which depth discontinuities deserve extra loss pressure.
+        emphasis=None (or all-ones) reproduces the un-emphasized mask.
+        """
         t = self.boundary_threshold if threshold is None else threshold
-        dist = jnp.min(jnp.abs(depth[..., None] - self.zone_boundaries), axis=-1)
+        dist = jnp.abs(depth[..., None] - self.zone_boundaries)
+        if emphasis is None:
+            dmin = jnp.min(dist, axis=-1)
+            if self.soft_boundaries:
+                return jax.nn.sigmoid((10.0 / t) * (t - dmin))
+            return (dmin < t).astype(jnp.float32)
         if self.soft_boundaries:
-            return jax.nn.sigmoid((10.0 / t) * (t - dist))
-        return (dist < t).astype(jnp.float32)
+            per_b = jax.nn.sigmoid((10.0 / t) * (t - dist))
+        else:
+            per_b = (dist < t).astype(jnp.float32)
+        return jnp.max(per_b * emphasis, axis=-1)
 
     def boundary_weight(self, depth: jax.Array, base_weight: float = 1.0,
                         boundary_boost: float = 2.0) -> jax.Array:

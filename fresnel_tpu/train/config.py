@@ -66,6 +66,10 @@ class TrainingConfig:
     use_fresnel_zones: bool = False
     num_fresnel_zones: int = 8
     boundary_weight: float = 0.1
+    # Learnable per-boundary emphasis on the boundary loss (reference
+    # declares the parameter at fresnel_zones.py:94 but never consumes it;
+    # here it trains — see FresnelZones.boundary_mask).
+    learnable_boundary_emphasis: bool = False
     use_edge_aware: bool = False
     use_phase_blending: bool = False
     use_phase_output: bool = False

@@ -250,6 +250,14 @@ class Trainer:
             params["encoder"] = enc_params
         if self.hfgs_config.learnable_wavelengths:
             params["wavelengths_raw"] = init_learnable_wavelengths()
+        if (self.fresnel_zones is not None
+                and getattr(self.config, "learnable_boundary_emphasis",
+                            False)):
+            # Reference parity: fresnel_zones.py:94 declares this parameter
+            # (ones-init, one per zone boundary) — here it actually trains
+            # through the boundary loss (see FresnelZones.boundary_mask).
+            params["boundary_emphasis"] = jnp.ones(
+                self.config.num_fresnel_zones + 1, jnp.float32)
         opt_state = self.optimizer.init(params)
         return {"params": params, "opt_state": opt_state,
                 "step": jnp.zeros((), jnp.int32)}
@@ -414,7 +422,8 @@ class Trainer:
                 vlm_density=batch.get("vlm_density"),
                 physics_config=pcfg, hfgs_config=hcfg,
                 learnable_wavelengths_raw=wl_raw,
-                fresnel_zones=zones)
+                fresnel_zones=zones,
+                boundary_emphasis=params.get("boundary_emphasis"))
 
             if track_overflow:
                 ld["overflow_dropped_frac"] = (

@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_fresnel_zones", action="store_true")
     p.add_argument("--num_fresnel_zones", type=int, default=8)
     p.add_argument("--boundary_weight", type=float, default=0.1)
+    p.add_argument("--learnable_boundary_emphasis", action="store_true",
+                   help="Train a per-boundary emphasis vector through the "
+                        "boundary loss (reference declares it at "
+                        "fresnel_zones.py:94 but never consumes it)")
     p.add_argument("--use_edge_aware", action="store_true")
     p.add_argument("--use_phase_blending", action="store_true")
     p.add_argument("--use_phase_output", action="store_true")
@@ -215,6 +219,7 @@ def configs_from_args(args):
         use_fresnel_zones=args.use_fresnel_zones,
         num_fresnel_zones=args.num_fresnel_zones,
         boundary_weight=args.boundary_weight,
+        learnable_boundary_emphasis=args.learnable_boundary_emphasis,
         use_edge_aware=args.use_edge_aware,
         use_phase_blending=args.use_phase_blending,
         use_phase_output=args.use_phase_output,

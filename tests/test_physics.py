@@ -51,6 +51,27 @@ class TestFresnelZones:
         mid_zone = float(mask[6])      # 0.06 mid-zone
         assert at_boundary > mid_zone
 
+    def test_boundary_emphasis_identity_and_weighting(self):
+        # emphasis=ones reproduces the un-emphasized mask; raising one
+        # boundary's emphasis raises the mask near THAT boundary only, and
+        # gradients flow into the emphasis vector (it is the learnable
+        # parameter the reference declares at fresnel_zones.py:94).
+        d = jnp.linspace(0.0, 1.0, 101)
+        ones = jnp.ones(self.fz.num_zones + 1)
+        np.testing.assert_allclose(
+            self.fz.boundary_mask(d, emphasis=ones),
+            self.fz.boundary_mask(d), atol=1e-6)
+
+        emph = ones.at[1].set(2.0)           # boundary at depth 0.125
+        m0 = self.fz.boundary_mask(d)
+        m1 = self.fz.boundary_mask(d, emphasis=emph)
+        assert float(m1[12]) > float(m0[12])          # near 0.125: boosted
+        assert abs(float(m1[50]) - float(m0[50])) < 1e-6  # near 0.5: same
+
+        g = jax.grad(lambda e: jnp.sum(
+            self.fz.boundary_mask(d, emphasis=e)))(ones)
+        assert float(jnp.abs(g).max()) > 0
+
     def test_boundary_weight_range(self):
         d = jnp.linspace(0, 1, 64).reshape(8, 8)
         w = self.fz.boundary_weight(d, base_weight=1.0, boundary_boost=2.0)

@@ -84,6 +84,27 @@ class TestBridges:
         qn = np.linalg.norm(flat[:, 6:10], axis=1)
         np.testing.assert_allclose(qn, 1.0, atol=1e-3)  # unit quaternions
 
+    def test_novel_views_debug_mode(self, image_dir, tmp_path, capsys):
+        # The reference's decoder_inference.py:147 test_novel_views debug
+        # entry: image -> decode -> orbit renders saved as PNGs, one
+        # brightness/coverage line per view, PASS/DARK verdict.
+        from fresnel_tpu.inference.bridges import cmd_test_novel_views
+
+        out_dir = tmp_path / "views"
+        rc = cmd_test_novel_views(
+            [str(image_dir / "i0.png"), str(out_dir), "-", "4", "64"])
+        lines = capsys.readouterr().out.strip().splitlines()
+        # Verdict is data-dependent (a random-init decoder may legitimately
+        # produce dark side views — that is the condition this mode exists
+        # to catch); the CONTRACT is per-view lines + verdict + PNGs.
+        assert lines[-1] in ("PASS", "DARK")
+        assert rc == (0 if lines[-1] == "PASS" else 1)
+        assert len(lines) == 5 and lines[0].startswith("az=0")
+        # The frontal view of a random-init decoder must be visible.
+        assert float(lines[0].split("coverage=")[1]) > 0.1
+        pngs = sorted(out_dir.glob("novel_view_az*.png"))
+        assert len(pngs) == 4
+
 
 class TestEvaluators:
     def test_visual_evaluator_self_render_is_perfect(self, cloud):

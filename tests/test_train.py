@@ -158,6 +158,29 @@ class TestTrainer:
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_learnable_boundary_emphasis_trains(self, tiny_dataset,
+                                                tmp_path):
+        # The emphasis vector must exist in params, receive gradient
+        # through the boundary loss, and move off its ones init.
+        cfg = tiny_config(tmp_path, epochs=1, use_fresnel_zones=True,
+                          boundary_weight=0.5,
+                          learnable_boundary_emphasis=True)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        state = trainer.init_state(batch)
+        emph0 = np.asarray(state["params"]["boundary_emphasis"])
+        np.testing.assert_allclose(emph0, 1.0)
+        step = trainer.get_step(K=cfg.gaussians_per_patch,
+                                stochastic_k=None)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        state2, ld = step(state, jb, jax.random.PRNGKey(0))
+        assert "boundary" in ld
+        emph1 = np.asarray(state2["params"]["boundary_emphasis"])
+        assert not np.allclose(emph1, emph0)
+
     def test_missing_sidecar_raises(self, tiny_dataset, tmp_path,
                                     monkeypatch):
         # A resume without the .msgpack.json sidecar silently restarts LR
