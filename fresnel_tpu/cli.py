@@ -268,6 +268,74 @@ def _save_png(img, path: str):
     Image.fromarray(arr).save(path)
 
 
+def cmd_refine(args) -> int:
+    """Per-scene test-time optimization: image -> FITTED 3DGS cloud.
+
+    The reference's pipeline is feedforward-only and its multiview
+    optimizer is a stub TODO (reference: scripts/inference/
+    cvs_multiview.py:358-399); this exposes the repo's per-scene fit
+    machinery (train/fit_teacher.py — SSIM ~0.985 on corpus scenes,
+    T-023) as a reconstruction mode: `--steps` Adam iterations through
+    the differentiable tiled rasterizer refine decoder-space Gaussians
+    against the input image.  ~100x the quality path of `infer` at
+    ~steps x render cost."""
+    import json as _json
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from fresnel_tpu.core import io as gio
+    from fresnel_tpu.core.gaussians import GaussianCloud
+    from fresnel_tpu.models.decoders import head_transform
+    from fresnel_tpu.models.encoders import create_depth_estimator
+    from fresnel_tpu.train.fit_teacher import fit_scene
+
+    t0 = time.perf_counter()
+    image = _load_image(args.image, size=args.size)
+    estimator = create_depth_estimator(args.depth_estimator)
+    print(f"depth estimator: {estimator.kind}"
+          + (f" ({estimator.weights_path})" if estimator.weights_path
+             else " (procedural fallback — no weights found)"))
+    depth = np.asarray(estimator(image, 256), np.float32)
+
+    target = np.asarray(
+        jnp.transpose(jnp.asarray(image), (2, 0, 1)), np.float32)
+    if target.shape[-1] != args.size:
+        import jax
+        target = np.asarray(jax.image.resize(
+            jnp.asarray(target), (3, args.size, args.size), "linear"))
+
+    # No head biases: init_raw encodes the surface init (T-023) directly
+    # in raw space; biases would double-apply and shrink scales to dust.
+    hk: dict = {}
+    teacher, metrics = fit_scene(
+        target, depth, steps=args.steps, lr=args.lr,
+        K=args.gaussians_per_patch, res=args.size, head_kwargs=hk,
+        max_per_tile=args.max_per_tile,
+        depth_offset_init=args.depth_offset_init)
+
+    out = head_transform(
+        jnp.asarray(teacher["raw"])[None], jnp.asarray(depth)[None],
+        jnp.asarray(teacher["depth_offset"]), **hk)
+    cloud = GaussianCloud(
+        positions=out["positions"][0], scales=out["scales"][0],
+        rotations=out["rotations"][0], colors=out["colors"][0],
+        opacities=out["opacities"][0])
+
+    out_path = Path(args.output)
+    if out_path.suffix == ".ply":
+        gio.save_ply(out_path, cloud)
+    else:
+        gio.save_binary(out_path, cloud)
+    dt = (time.perf_counter() - t0) * 1000
+    print(f"{cloud.num_gaussians} gaussians -> {out_path}  ({dt:.0f} ms "
+          f"incl. compile)")
+    print(_json.dumps({"ssim": round(metrics["ssim"], 4),
+                       "psnr": round(metrics["psnr"], 2),
+                       "steps": args.steps}))
+    return 0
+
+
 def cmd_render(args) -> int:
     import numpy as np
     from fresnel_tpu.core.camera import Camera
@@ -435,6 +503,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="viewer preview cap (highest-opacity kept)")
     _add_saag_quality_flags(p)
 
+    p = sub.add_parser(
+        "refine", help="image -> per-scene OPTIMIZED 3D Gaussian cloud "
+                       "(test-time optimization, ~0.98 SSIM)")
+    p.add_argument("image")
+    p.add_argument("output", help="OUT.ply or OUT.bin")
+    p.add_argument("--steps", type=int, default=800)
+    p.add_argument("--lr", type=float, default=1e-2)
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--gaussians_per_patch", type=int, default=4)
+    p.add_argument("--max_per_tile", type=int, default=1024)
+    p.add_argument("--depth_estimator", default="auto")
+    p.add_argument("--depth_offset_init", type=float, default=-0.13,
+                   help="depth_offset start value; the reference-parity "
+                        "-2.0 stalls short fits (Adam scalar travel, "
+                        "T-027) — -0.13 is the content-at-view-distance "
+                        "consensus")
+
     p = sub.add_parser("render", help="render a cloud file to PNG")
     p.add_argument("cloud")
     p.add_argument("output")
@@ -502,6 +587,7 @@ def main(argv=None) -> int:
     return {
         "smoke": cmd_smoke,
         "infer": cmd_infer,
+        "refine": cmd_refine,
         "render": cmd_render,
         "orbit": cmd_orbit,
         "eval": cmd_eval,

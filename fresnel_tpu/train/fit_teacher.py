@@ -124,6 +124,7 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
               experiment: int = 2,
               freeze_geometry: bool = False,
               geometry_prox: float = 0.0,
+              depth_offset_init: float = -2.0,
               ) -> Tuple[Dict[str, np.ndarray], Dict[str, float]]:
     """Fit raw head values (+ depth_offset unless fixed) to one scene by
     Adam through the experiment's head transform + the tiled rasterizer.
@@ -168,7 +169,11 @@ def fit_scene(image: np.ndarray, depth: np.ndarray, *,
         raw0 = init_raw(image, depth, camera, grid=grid, K=K, head_kwargs=hk)
     params = {"raw": jnp.asarray(raw0)}
     if fixed_depth_offset is None:
-        params["do"] = jnp.asarray(-2.0, jnp.float32)
+        # -2.0 is reference parity but FAR from the per-scene optimum
+        # (~-0.13 at the training camera): Adam moves a lone scalar ~lr
+        # per step, so short fits stall entirely on this travel (T-027).
+        # Callers doing few-hundred-step fits should init near consensus.
+        params["do"] = jnp.asarray(depth_offset_init, jnp.float32)
 
     # The fixed offset VALUE is baked into the jitted closure, so it must be
     # part of the key — `is None` alone would silently reuse a step compiled

@@ -106,6 +106,29 @@ class TestBridges:
         assert len(pngs) == 4
 
 
+class TestRefineCLI:
+    def test_refine_reaches_high_ssim(self, image_dir, tmp_path, capsys):
+        """`fresnel refine`: per-scene test-time optimization through the
+        differentiable rasterizer (the reference's optimize_3dgs is a stub
+        TODO, cvs_multiview.py:358-399).  A short fit on a simple synthetic
+        image must already clear SSIM 0.7 and write a loadable PLY."""
+        import json as _json
+
+        from fresnel_tpu.cli import main
+        from fresnel_tpu.core import io as gio
+
+        out = tmp_path / "refined.ply"
+        rc = main(["refine", str(image_dir / "i0.png"), str(out),
+                   "--steps", "160", "--size", "64",
+                   "--max_per_tile", "128"])
+        assert rc == 0
+        lines = capsys.readouterr().out.strip().splitlines()
+        metrics = _json.loads(lines[-1])
+        assert metrics["ssim"] > 0.8, metrics
+        cloud = gio.load_ply(str(out))
+        assert cloud.num_gaussians == 37 * 37 * 4
+
+
 class TestEvaluators:
     def test_visual_evaluator_self_render_is_perfect(self, cloud):
         from fresnel_tpu.evaluation.visual_eval import VisualEvaluator
