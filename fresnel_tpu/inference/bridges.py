@@ -155,12 +155,17 @@ def cmd_test_novel_views(argv) -> int:
                           PhysicsConfig(**meta["physics_config"]),
                           HFGSConfig(**meta["hfgs_config"]),
                           HFTSConfig(**meta["hfts_config"]))
-        batch = {"features": feats, "depth": depth,
-                 "image": np.zeros(
-                     (1, 3, trainer.config.image_size,
-                      trainer.config.image_size), np.float32)}
+        S = trainer.config.image_size
+        img_chw = np.asarray(jax.image.resize(
+            jnp.transpose(img, (2, 0, 1)), (3, S, S), "linear"))[None]
+        batch = {"features": feats, "depth": depth, "image": img_chw}
         state, _ = trainer.load_checkpoint(ckpt, batch)
         model, params = trainer.model, state["params"]["model"]
+        if getattr(trainer.config, "train_encoder", False):
+            # Encoder-trained checkpoints condition on THEIR encoder's
+            # features, not the procedural extractor's.
+            feats = np.asarray(
+                trainer.encode(state["params"], jnp.asarray(img_chw)))
     else:
         model = DirectPatchDecoder(feature_dim=384, gaussians_per_patch=4)
         params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
