@@ -77,6 +77,13 @@ class ImageEncoder(nn.Module):
     grid: int = 37
     width: int = 64
     n_attn_blocks: int = 2
+    # Run the transformer blocks on an attn_pool x attn_pool average-pooled
+    # token grid and add the upsampled context back to the full-resolution
+    # conv features.  At grid=74 full attention is (5476)^2 logits per head
+    # (~0.7 GB x batch x heads x blocks — HBM-infeasible); pooled attention
+    # keeps global context O((grid/p)^4) while the conv path carries the
+    # high-frequency detail the finer lattice exists for (T-045).
+    attn_pool: int = 1
 
     @nn.compact
     def __call__(self, image: jax.Array,
@@ -103,6 +110,18 @@ class ImageEncoder(nn.Module):
             "pos_embed", nn.initializers.normal(0.02),
             (1, self.grid, self.grid, self.feature_dim))
         x = x + pos
+
+        if self.attn_pool > 1:
+            p = self.attn_pool
+            g2 = self.grid // p
+            t = nn.avg_pool(x, (p, p), strides=(p, p))     # (B, g2, g2, C)
+            tok = t.reshape(B, g2 * g2, self.feature_dim)
+            for _ in range(self.n_attn_blocks):
+                tok = _AttnBlock(self.feature_dim)(tok)
+            tok = nn.LayerNorm()(tok).reshape(B, g2, g2, self.feature_dim)
+            ctx = jax.image.resize(
+                tok, (B, self.grid, self.grid, self.feature_dim), "linear")
+            return nn.LayerNorm()(x + ctx)
 
         tokens = x.reshape(B, self.grid * self.grid, self.feature_dim)
         for _ in range(self.n_attn_blocks):

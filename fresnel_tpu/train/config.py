@@ -126,6 +126,11 @@ class TrainingConfig:
     # place of the cached/procedural extractor.
     train_encoder: bool = False
     encoder_width: int = 64
+    # >1 = run the encoder's transformer blocks on a pooled token grid and
+    # add the upsampled context back to the conv features — required for
+    # HBM-feasible attention at feature_size > ~48 (T-045 finer-lattice
+    # encoder arms).
+    encoder_attn_pool: int = 1
     # Decoder head-init biases (0.0 = exact reference head behavior).
     # --surface_init sets (-2.6, 1.5): outputs START at surface-like params
     # (sigma ~= patch pitch, opacity ~0.8) — the basin the T-023 direct fit

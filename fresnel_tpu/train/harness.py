@@ -188,9 +188,10 @@ class Trainer:
         self.encoder = None
         if getattr(cfg, "train_encoder", False):
             from fresnel_tpu.models.image_encoder import ImageEncoder
-            self.encoder = ImageEncoder(feature_dim=cfg.feature_dim,
-                                        grid=cfg.feature_size,
-                                        width=cfg.encoder_width)
+            self.encoder = ImageEncoder(
+                feature_dim=cfg.feature_dim, grid=cfg.feature_size,
+                width=cfg.encoder_width,
+                attn_pool=getattr(cfg, "encoder_attn_pool", 1))
         self.renderer = select_training_renderer(
             cfg, self.physics_config, self.hfgs_config)
         self.train_res = self.hfts_config.get_effective_train_resolution(

@@ -164,6 +164,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "decoder instead of consuming frozen/cached "
                         "features (the no-pretrained-weights answer to "
                         "DINOv2; models/image_encoder.py)")
+    p.add_argument("--feature_size", type=int, default=37,
+                   help="Feature-grid side. With --train_encoder the "
+                        "encoder emits this grid natively from the image — "
+                        "a REAL higher-resolution lattice (unlike "
+                        "--feature_upsample, which can only interpolate "
+                        "the 37x37 information)")
+    p.add_argument("--encoder_attn_pool", type=int, default=1,
+                   help=">1: encoder attention on a pooled token grid "
+                        "(HBM-feasible at feature_size > ~48); conv path "
+                        "keeps full resolution")
     p.add_argument("--encoder_width", type=int, default=64,
                    help="Base conv width of the trainable encoder")
     p.add_argument("--lpips_weights", type=str, default=None,
@@ -237,6 +247,8 @@ def configs_from_args(args):
         use_amp=args.use_amp,
         train_encoder=args.train_encoder,
         encoder_width=args.encoder_width,
+        feature_size=args.feature_size,
+        encoder_attn_pool=args.encoder_attn_pool,
         max_per_tile=args.max_per_tile,
         scale_bias=args.scale_bias,
         opacity_bias=args.opacity_bias,

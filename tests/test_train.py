@@ -60,6 +60,28 @@ class TestTrainer:
         hist = json.loads((tmp_path / "loss_history.json").read_text())
         assert "rgb" in hist
 
+    def test_native_finer_encoder_grid_trains(self, tiny_dataset, tmp_path):
+        # --feature_size with --train_encoder: the encoder emits the finer
+        # grid natively; pooled attention keeps it HBM-feasible.  One
+        # epoch end-to-end + sidecar round-trip of both fields.
+        cfg = tiny_config(tmp_path, epochs=1, train_encoder=True,
+                          feature_size=16, encoder_attn_pool=2,
+                          gaussians_per_patch=1)
+        trainer = Trainer(cfg, PhysicsConfig(), HFGSConfig(
+            use_phase_retrieval_loss=False, use_frequency_loss=False,
+            learnable_wavelengths=False), HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        feats = trainer.encode(trainer.init_state(batch)["params"],
+                               jnp.asarray(batch["image"]))
+        assert feats.shape == (2, 16, 16, cfg.feature_dim)
+        trainer.fit(tiny_dataset)
+        assert np.isfinite(trainer.history["total"][0])
+        meta = json.loads(
+            (tmp_path / "final_model.msgpack.json").read_text())
+        assert meta["config"]["feature_size"] == 16
+        assert meta["config"]["encoder_attn_pool"] == 2
+
     def test_feature_upsample_trains(self, tiny_dataset, tmp_path):
         # Finer-lattice decoder (T-040 attack): one step end to end, and
         # the checkpoint sidecar round-trips the feature_upsample field.
