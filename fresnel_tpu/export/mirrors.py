@@ -25,11 +25,6 @@ from typing import Dict
 import numpy as np
 
 
-def _torch():
-    import torch
-    return torch
-
-
 def rot6d_to_quat(rot_6d):
     """6D rotation -> wxyz quaternion (Gram-Schmidt + Shepperd, where-based;
     mirrors core/gaussians.rotation_6d_to_quaternion)."""
