@@ -176,6 +176,9 @@ def build_direct_patch_mirror(flat: Dict[str, np.ndarray], config: dict):
     depth_z_scale = float(config.get("depth_z_scale", -2.0))
     z_offset_scale = float(config.get("z_offset_scale", 0.0))
     upsample = int(config.get("feature_upsample", 1))
+    # 19 raw channels when the head also predicts per-RGB phases (QSR
+    # wave path); the export then emits (N, 17) = [gaussians(14) | phases].
+    opg = 19 if config.get("use_phase_output") else 16
 
     class Mirror(nn.Module):
         def __init__(self):
@@ -205,7 +208,7 @@ def build_direct_patch_mirror(flat: Dict[str, np.ndarray], config: dict):
                     F.gelu(self.upsample_conv(up), approximate="tanh"))
                 features = up
             x = features.permute(0, 2, 3, 1).reshape(B * H * W, C)
-            out = self.mlp(x).reshape(B, H, W, K, 16)
+            out = self.mlp(x).reshape(B, H, W, K, opg)
 
             ygrid, xgrid = torch.meshgrid(
                 torch.linspace(-1, 1, H), torch.linspace(-1, 1, W),
@@ -220,8 +223,13 @@ def build_direct_patch_mirror(flat: Dict[str, np.ndarray], config: dict):
             if z_offset_scale:
                 base_z = base_z + torch.tanh(
                     out[..., 2]) * z_offset_scale
-            return _head_common(out, base_x, base_y, base_z, 0.25,
-                                scale_bias, opacity_bias)
+            g = _head_common(out, base_x, base_y, base_z, 0.25,
+                             scale_bias, opacity_bias)
+            if opg == 19:
+                TWO_PI = 6.283185307179586
+                phases = torch.sigmoid(out[..., 16:19]) * TWO_PI
+                g = torch.cat([g, phases.reshape(-1, 3)], -1)
+            return g
 
     return Mirror()
 

@@ -70,6 +70,8 @@ CASES = [
                            "scale_bias": -2.6, "opacity_bias": 1.5}),
     ("exp2_finer_lattice", {"experiment": 2, "gaussians_per_patch": 1,
                             "feature_upsample": 2}),
+    ("exp2_phase_output", {"experiment": 2, "gaussians_per_patch": 2,
+                           "use_phase_output": True}),
     ("exp3_feature_guided", {"experiment": 3}),
     ("exp4_fibonacci", {"experiment": 4, "n_spiral_points": 89}),
     ("exp5_nca", {"experiment": 5, "n_spiral_points": 55, "nca_steps": 4,
