@@ -225,8 +225,13 @@ class DirectPatchDecoder(nn.Module):
             up = jax.image.resize(features, (B, H, W, C), method="linear")
             # Learned local refinement so adjacent sub-patches can
             # differentiate (bilinear alone would emit near-duplicate rows
-            # into the per-patch MLP).
-            up = up + nn.Conv(C, (3, 3), name="upsample_refine")(
+            # into the per-patch MLP).  The residual conv is ZERO-INIT:
+            # a random residual doubles feature variance with noise at
+            # init and scrambles whatever the (jointly trained) encoder
+            # emits — the exp2_g74 arm trained through that and collapsed
+            # to structureless color fields (T-045).
+            up = up + nn.Conv(C, (3, 3), name="upsample_refine",
+                              kernel_init=nn.initializers.zeros)(
                 nn.gelu(nn.Conv(C, (3, 3), name="upsample_conv")(up)))
             features = up
         full_K = self.gaussians_per_patch
