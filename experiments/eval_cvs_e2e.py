@@ -64,16 +64,15 @@ def main():
             img = Image.open(p).convert("RGB").resize((S, S))
             image = jnp.asarray(np.asarray(img, np.float32) / 255.0)
             feats = extractor(image)[None]
+            input_chw = np.transpose(np.asarray(image), (2, 0, 1))[None]
 
             if state is None:
                 batch = {
-                    "input_image": np.transpose(
-                        np.asarray(image), (2, 0, 1))[None],
+                    "input_image": input_chw,
                     "features": np.asarray(feats),
                     "R_rel": np.eye(3, dtype=np.float32)[None],
                     "t_rel": np.zeros((1, 3), np.float32),
-                    "target_image": np.transpose(
-                        np.asarray(image), (2, 0, 1))[None],
+                    "target_image": input_chw,
                 }
                 template = trainer.init_state(batch)
                 state = ser.from_bytes(template,
@@ -95,7 +94,7 @@ def main():
                 gen = trainer.generate(
                     state, feats, R_rel, t_rel, nrng,
                     num_steps=args.num_steps,
-                    input_image=batch["input_image"]
+                    input_image=jnp.asarray(input_chw)
                     if cfg.concat_input_view else None)
                 views.append(np.clip(np.asarray(gen[0]), 0, 1))
 
