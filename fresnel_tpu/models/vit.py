@@ -726,3 +726,77 @@ def load_depth_anything(size: str = "small",
     flat = convert_depth_anything_torch(weights_path, size)
     params, _ = _apply_flat(params, flat)
     return jax.jit(lambda img: model.apply(params, img)), params
+
+
+# ----------------------------------------------------------------------
+# Fused dual-trunk inference
+# ----------------------------------------------------------------------
+#
+# The headline pipeline runs TWO architecturally identical ViT-S/14 trunks
+# on the SAME 518² image: DINOv2 for features and Depth-Anything's backbone
+# for depth taps (the reference runs them as two separate ONNX subprocesses,
+# reference: src/core/features/feature_extractor.cpp:67-150 +
+# src/core/depth/estimator.cpp:182-255).  Sequential B=1 trunks leave the
+# MXU half-fed: every matmul is (1·1370, 384)-shaped and every one of the
+# ~150 trunk kernels pays its own dispatch.  Stacking the two weight trees
+# on a leading model axis and vmapping ONE trunk forward turns the whole
+# stack into B=2 batched matmuls — same FLOPs, half the kernels, double
+# the rows per kernel.  DINOv2's feature contract (final-norm patch tokens)
+# is exactly the depth-`depth` tap, so one tapped forward serves both.
+
+def stack_trunk_params(dino_params, depth_params):
+    """Stack DINOv2 params with Depth-Anything's backbone subtree.
+
+    Both trees must come from the same trunk architecture (ViT-S/14 at the
+    same image size); leaf-shape mismatches raise in the tree_map.  Returns
+    {"params": stacked} where every leaf has a leading model axis of 2
+    (index 0 = DINOv2 / features, index 1 = Depth-Anything / depth)."""
+    a = dino_params["params"]
+    b = depth_params["params"]["backbone"]
+    stacked = jax.tree_util.tree_map(
+        lambda x, y: jnp.stack([jnp.asarray(x), jnp.asarray(y)]), a, b)
+    return {"params": stacked}
+
+
+def fused_features_and_depth(depth_model: DepthAnything, stacked_trunk,
+                             depth_params, images: jax.Array,
+                             raw: bool = False):
+    """One vmapped trunk forward -> (DINOv2 features, Depth-Anything depth).
+
+    images: (B, S, S, 3) in [0, 1] at depth_model.image_size.  Returns
+    (feats (B, g, g, width) f32, depth (B, out, out) f32 in [0,1]) — the
+    exact outputs of DINOv2.__call__ and DepthAnything.__call__ run
+    separately (parity-tested in tests/test_vit.py).  `raw=True` returns
+    the unnormalized (B, 518, 518) head output like DepthAnything(raw=True).
+
+    Jit-traceable; `stacked_trunk` comes from stack_trunk_params and
+    `depth_params` supplies the DPT neck/head subtree."""
+    m = depth_model
+    g = m.image_size // m.patch_size
+    trunk = DINOv2(m.width, m.depth, m.heads, m.patch_size, m.image_size,
+                   dtype=m.dtype)
+    # The features contract is the final-norm patch grid = the tap at layer
+    # `depth`; make sure it is collected even if out_indices omit it.
+    fused_idx = tuple(sorted(set(m.out_indices) | {m.depth}))
+    taps = jax.vmap(
+        lambda p: trunk.apply({"params": p}, images, out_indices=fused_idx)
+    )(stacked_trunk["params"])            # list of (2, B, N+1, width)
+
+    B = images.shape[0]
+    feat_tokens = taps[fused_idx.index(m.depth)][0]
+    feats = feat_tokens[:, 1:].reshape(B, g, g, m.width).astype(jnp.float32)
+
+    depth_taps = [taps[fused_idx.index(i)][1] for i in m.out_indices]
+    neckhead = DPTNeckHead(m.neck_channels, m.fusion, m.head_hidden,
+                           m.patch_size, dtype=m.dtype)
+    depth = neckhead.apply({"params": depth_params["params"]["dpt"]},
+                           depth_taps, g)
+    if raw:
+        return feats, depth
+    lo = jnp.min(depth, axis=(1, 2), keepdims=True)
+    hi = jnp.max(depth, axis=(1, 2), keepdims=True)
+    rel = (depth - lo) / jnp.maximum(hi - lo, 1e-6)
+    if m.out_size != rel.shape[1]:
+        rel = jax.image.resize(
+            rel, (rel.shape[0], m.out_size, m.out_size), "linear")
+    return feats, rel

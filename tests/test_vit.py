@@ -91,6 +91,61 @@ class TestDINOv2:
         assert out.shape == (1, 32, 32)
         assert float(out.min()) >= 0.0 and float(out.max()) <= 1.0
 
+    def test_fused_trunk_matches_sequential(self):
+        """fused_features_and_depth (one vmapped trunk over stacked weights)
+        must reproduce DINOv2.__call__ and DepthAnything.__call__ exactly —
+        the fused path is pure restructuring, not an approximation."""
+        from fresnel_tpu.models.vit import (
+            fused_features_and_depth, stack_trunk_params)
+
+        kw = dict(width=64, depth=4, heads=2)
+        dino = DINOv2(image_size=56, **kw)
+        depth_model = DepthAnything(
+            out_size=32, image_size=56, out_indices=(1, 2, 4),
+            neck_channels=(8, 16, 32), fusion=16, head_hidden=8, **kw)
+        x = jnp.asarray(np.random.default_rng(2).uniform(
+            size=(2, 56, 56, 3)).astype(np.float32))
+        dino_params = dino.init(jax.random.PRNGKey(1), x)
+        depth_params = depth_model.init(jax.random.PRNGKey(2), x)
+
+        feats_ref = np.asarray(dino.apply(dino_params, x))
+        depth_ref = np.asarray(depth_model.apply(depth_params, x))
+
+        stacked = stack_trunk_params(dino_params, depth_params)
+        feats, depth = jax.jit(
+            lambda s, p, im: fused_features_and_depth(
+                depth_model, s, p, im))(stacked, depth_params, x)
+        assert feats.dtype == jnp.float32 and depth.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(feats), feats_ref,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), depth_ref,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_trunk_adds_missing_final_tap(self):
+        """out_indices that omit the final layer still yield correct DINOv2
+        features (the fused path unions in the `depth` tap)."""
+        from fresnel_tpu.models.vit import (
+            fused_features_and_depth, stack_trunk_params)
+
+        kw = dict(width=64, depth=4, heads=2)
+        dino = DINOv2(image_size=56, **kw)
+        depth_model = DepthAnything(
+            out_size=32, image_size=56, out_indices=(1, 2, 3),
+            neck_channels=(8, 16, 32), fusion=16, head_hidden=8, **kw)
+        x = jnp.asarray(np.random.default_rng(3).uniform(
+            size=(1, 56, 56, 3)).astype(np.float32))
+        dino_params = dino.init(jax.random.PRNGKey(3), x)
+        depth_params = depth_model.init(jax.random.PRNGKey(4), x)
+        stacked = stack_trunk_params(dino_params, depth_params)
+        feats, depth = fused_features_and_depth(
+            depth_model, stacked, depth_params, x)
+        np.testing.assert_allclose(
+            np.asarray(feats), np.asarray(dino.apply(dino_params, x)),
+            rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(depth), np.asarray(depth_model.apply(depth_params, x)),
+            rtol=1e-5, atol=1e-5)
+
 
 def _tiny_hf_dinov2(torch, width=64, depth=2, heads=2, image_size=224):
     from transformers import Dinov2Config, Dinov2Model
