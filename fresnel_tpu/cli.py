@@ -143,9 +143,9 @@ def cmd_infer(args) -> int:
     print(f"depth estimator: {estimator.kind}"
           + (f" ({estimator.weights_path})" if estimator.weights_path
              else " (procedural fallback — no weights found)"))
-    depth = estimator(image, 256)
 
     if args.saag or args.checkpoint is None and args.no_model:
+        depth = estimator(image, 256)
         from fresnel_tpu.geometry import (
             pointcloud_from_depth, to_surface_gaussians)
 
@@ -169,7 +169,17 @@ def cmd_infer(args) -> int:
         print(f"feature extractor: {extractor.kind}"
               + (f" ({extractor.weights_path})" if extractor.weights_path
                  else " (procedural fallback — no weights found)"))
-        feats = extractor(image)[None]
+        from fresnel_tpu.models.encoders import create_fused_encoder
+        fused = create_fused_encoder(extractor, estimator)
+        if fused is not None:
+            # Both real backbones present: one jitted program computes
+            # features AND depth (vmapped dual-trunk, models/vit.py).
+            print("fused dual-trunk: features + depth in one jitted program")
+            f, depth = fused(image, 256)
+            feats = f[None]
+        else:
+            depth = estimator(image, 256)
+            feats = extractor(image)[None]
         from fresnel_tpu.models.decoders import DirectPatchDecoder
 
         model = DirectPatchDecoder(gaussians_per_patch=args.gaussians_per_patch)

@@ -258,6 +258,73 @@ class DepthAnythingEstimator:
         return self._fn(self.params, image, out_size)
 
 
+class FusedDinoDepthEncoder:
+    """Both real backbones as ONE jitted program: image -> (features, depth).
+
+    DINOv2 and Depth-Anything share the ViT-S/14 trunk architecture; the
+    fused path (fresnel_tpu/models/vit.py fused_features_and_depth) stacks
+    the two weight trees and runs a single vmapped B=2 trunk forward —
+    same outputs as running DINOv2FeatureExtractor and
+    DepthAnythingEstimator separately (parity-tested), at roughly the cost
+    of one-and-a-half trunks instead of two.  The reference necessarily
+    runs these as two separate ONNX subprocesses (reference:
+    src/core/features/feature_extractor.cpp:67-150,
+    src/core/depth/estimator.cpp:182-255)."""
+
+    kind = "fused_dinov2_depth_anything"
+
+    def __init__(self, extractor: "DINOv2FeatureExtractor",
+                 estimator: "DepthAnythingEstimator"):
+        from fresnel_tpu.models.vit import stack_trunk_params
+
+        fm, dm = extractor._model, estimator._model
+        if (fm.width, fm.depth, fm.heads, fm.patch_size, fm.image_size) != \
+           (dm.width, dm.depth, dm.heads, dm.patch_size, dm.image_size):
+            raise ValueError(
+                "fused encoder needs matching trunk architectures; got "
+                f"feature {fm} vs depth backbone {dm}")
+        self.extractor = extractor
+        self.estimator = estimator
+        self.grid = extractor.grid
+        self.weights_path = (extractor.weights_path, estimator.weights_path)
+        self._stacked = stack_trunk_params(extractor.params, estimator.params)
+        self._fn = None
+
+    def __call__(self, image: jax.Array,
+                 out_size: int = 256) -> Tuple[jax.Array, jax.Array]:
+        """(H, W, 3) [0,1] -> ((grid, grid, dim) f32, (out, out) depth)."""
+        if self._fn is None:
+            from fresnel_tpu.models.vit import fused_features_and_depth
+
+            model = self.estimator._model
+            size = model.image_size
+
+            @functools.partial(jax.jit, static_argnames=("out_size",))
+            def run(stacked, depth_params, image, out_size):
+                x = jax.image.resize(image, (size, size, 3), "linear")[None]
+                feats, rel = fused_features_and_depth(
+                    model, stacked, depth_params, x)
+                return feats[0], jax.image.resize(
+                    rel[0], (out_size, out_size), "linear")
+
+            self._fn = run
+        return self._fn(self._stacked, self.estimator.params, image,
+                        out_size)
+
+
+def create_fused_encoder(extractor, estimator):
+    """Return a FusedDinoDepthEncoder when both callables are the real
+    weight-loaded models with compatible trunks, else None (callers keep
+    the two separate programs)."""
+    if getattr(extractor, "kind", None) == "dinov2" and \
+            getattr(estimator, "kind", None) == "depth_anything":
+        try:
+            return FusedDinoDepthEncoder(extractor, estimator)
+        except ValueError:
+            return None
+    return None
+
+
 class FallbackDepthEstimator:
     """Procedural estimator with the same callable shape as the real one."""
 

@@ -13,7 +13,8 @@ import pytest
 
 from fresnel_tpu.models.encoders import (
     DINOv2FeatureExtractor, DepthAnythingEstimator, FallbackDepthEstimator,
-    PatchFeatureExtractor, create_depth_estimator, create_feature_extractor)
+    FusedDinoDepthEncoder, PatchFeatureExtractor, create_depth_estimator,
+    create_feature_extractor, create_fused_encoder)
 
 
 @pytest.fixture()
@@ -84,6 +85,55 @@ class TestAutoRealWeights:
         feats = ex(img)
         assert feats.shape == (8, 8, 384)
         assert np.isfinite(np.asarray(feats)).all()
+
+    def test_fused_encoder_matches_separate(self, models_dir):
+        """FusedDinoDepthEncoder (one vmapped dual-trunk program, used by
+        `fresnel infer` when both real models are present) must reproduce
+        the two separate production extractors exactly."""
+        torch = pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        import jax
+
+        _save_hf_dinov2_small(torch, models_dir / "dinov2_small.pth")
+        _save_hf_depth_anything_small(
+            torch, models_dir / "depth_anything_v2_small.pth")
+        ex = DINOv2FeatureExtractor(str(models_dir / "dinov2_small.pth"),
+                                    compute_dtype=jnp.float32)
+        est = DepthAnythingEstimator(
+            str(models_dir / "depth_anything_v2_small.pth"),
+            compute_dtype=jnp.float32)
+        fused = create_fused_encoder(ex, est)
+        assert isinstance(fused, FusedDinoDepthEncoder)
+
+        img = jnp.asarray(np.random.default_rng(7).uniform(
+            size=(96, 96, 3)).astype(np.float32))
+        feats, depth = fused(img, 64)
+        feats_ref = ex(img)
+        depth_ref = est(img, 64)
+        assert feats.shape == feats_ref.shape == (37, 37, 384)
+        assert depth.shape == depth_ref.shape == (64, 64)
+        np.testing.assert_allclose(np.asarray(feats), np.asarray(feats_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(depth_ref),
+                                   rtol=1e-5, atol=1e-5)
+        del jax
+
+    def test_fused_encoder_none_for_fallbacks(self, models_dir):
+        assert create_fused_encoder(PatchFeatureExtractor(),
+                                    FallbackDepthEstimator("gradient")) is None
+
+    def test_fused_encoder_none_for_mismatched_trunks(self, models_dir):
+        torch = pytest.importorskip("torch")
+        pytest.importorskip("transformers")
+        _save_hf_dinov2_small(torch, models_dir / "dinov2_small.pth")
+        _save_hf_depth_anything_small(
+            torch, models_dir / "depth_anything_v2_small.pth")
+        # grid=8 extractor runs a 112² trunk vs the 518² depth backbone.
+        ex = DINOv2FeatureExtractor(str(models_dir / "dinov2_small.pth"),
+                                    grid=8, dim=384)
+        est = DepthAnythingEstimator(
+            str(models_dir / "depth_anything_v2_small.pth"))
+        assert create_fused_encoder(ex, est) is None
 
     def test_depth_auto_finds_depth_anything(self, models_dir):
         torch = pytest.importorskip("torch")
