@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--steps", type=int, nargs="*",
                     default=[100, 200, 400, 800])
     ap.add_argument("--out_json", default="results/bench_refine.json")
+    ap.add_argument("--estimated_depth", action="store_true",
+                    help="Estimate depth from the image (gradient/DPT "
+                         "estimator, same path as `fresnel refine`) "
+                         "instead of using the corpus GT depth — the "
+                         "honest no-GT frontier (T-046 caveat)")
+    ap.add_argument("--depth_estimator", default="auto")
     args = ap.parse_args()
 
     from fresnel_tpu.utils.compile_cache import enable_compilation_cache
@@ -40,6 +46,11 @@ def main():
 
     ds = ImageDataset(args.data_dir, image_size=args.res,
                       use_augmentation=False, max_images=args.scenes)
+    estimator = None
+    if args.estimated_depth:
+        from fresnel_tpu.models.encoders import create_depth_estimator
+        estimator = create_depth_estimator(args.depth_estimator)
+        print(f"depth estimator: {estimator.kind}", flush=True)
     cache: dict = {}
     rows = []
     with tpu_lock():
@@ -47,9 +58,14 @@ def main():
             for i in range(min(args.scenes, len(ds))):
                 s = ds._samples[i]                 # Sample: image (S, S, 3)
                 t0 = time.perf_counter()
+                depth = s.depth
+                if estimator is not None:
+                    # Estimation is timed in: it is part of the no-GT
+                    # reconstruction path, exactly like cli.py cmd_refine.
+                    depth = np.asarray(estimator(s.image, 256), np.float32)
                 _, m = fit_scene(
                     np.transpose(s.image, (2, 0, 1)),
-                    s.depth, steps=steps, res=args.res,
+                    depth, steps=steps, res=args.res,
                     depth_offset_init=-0.13, step_fn_cache=cache)
                 ms = (time.perf_counter() - t0) * 1000
                 rows.append({"steps": steps, "scene": i, "ms": round(ms, 1),

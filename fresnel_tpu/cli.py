@@ -169,11 +169,15 @@ def cmd_infer(args) -> int:
         print(f"feature extractor: {extractor.kind}"
               + (f" ({extractor.weights_path})" if extractor.weights_path
                  else " (procedural fallback — no weights found)"))
-        from fresnel_tpu.models.encoders import create_fused_encoder
-        fused = create_fused_encoder(extractor, estimator)
+        fused = None
+        if args.fused_encoder:
+            # Opt-in only: on-chip the vmapped dual trunk measured SLOWER
+            # than the two sequential programs (B=1 @512²: trunks
+            # 6.55→7.21 ms, full 10.56→11.01 ms — T-049); kept for
+            # batch-inference regimes where weight-stacking can win.
+            from fresnel_tpu.models.encoders import create_fused_encoder
+            fused = create_fused_encoder(extractor, estimator)
         if fused is not None:
-            # Both real backbones present: one jitted program computes
-            # features AND depth (vmapped dual-trunk, models/vit.py).
             print("fused dual-trunk: features + depth in one jitted program")
             f, depth = fused(image, 256)
             feats = f[None]
@@ -503,6 +507,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "depth_anything", "gradient", "center"],
                    help="'auto' uses real Depth-Anything weights when found "
                         "(FRESNEL_TPU_MODELS or ./models), else gradient")
+    p.add_argument("--fused_encoder", action="store_true",
+                   help="run DINOv2+depth as one vmapped dual-trunk "
+                        "program (needs both real backbones; measured "
+                        "slower at B=1 — see T-049)")
     p.add_argument("--feature_extractor", default="auto",
                    choices=["auto", "dinov2", "patch"],
                    help="'auto' uses real DINOv2 weights when found")

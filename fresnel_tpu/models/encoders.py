@@ -278,8 +278,13 @@ class FusedDinoDepthEncoder:
         from fresnel_tpu.models.vit import stack_trunk_params
 
         fm, dm = extractor._model, estimator._model
-        if (fm.width, fm.depth, fm.heads, fm.patch_size, fm.image_size) != \
-           (dm.width, dm.depth, dm.heads, dm.patch_size, dm.image_size):
+        if (fm.width, fm.depth, fm.heads, fm.patch_size, fm.image_size,
+                fm.dtype) != \
+           (dm.width, dm.depth, dm.heads, dm.patch_size, dm.image_size,
+                dm.dtype):
+            # dtype included: the fused trunk runs at the estimator's
+            # dtype, so a mixed-dtype pair would silently compute
+            # features at the wrong precision instead of falling back.
             raise ValueError(
                 "fused encoder needs matching trunk architectures; got "
                 f"feature {fm} vs depth backbone {dm}")

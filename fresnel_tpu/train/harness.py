@@ -722,15 +722,29 @@ class Trainer:
         import flax.serialization as ser
 
         template = self.init_state(sample_batch)
+        meta_path = Path(str(path) + ".json")
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        if meta.get("thin"):
+            # bf16 params-only export (train/thin_ckpt.py): cast params
+            # back to template dtypes, fresh optimizer state (Adam
+            # re-estimates moments in a few steps), step from sidecar.
+            from fresnel_tpu.train.thin_ckpt import load_thin_params
+            params = load_thin_params(path, template["params"])
+            state = {"params": params,
+                     "opt_state": template["opt_state"],
+                     "step": jnp.asarray(meta.get("step", 0),
+                                         jnp.asarray(template["step"]).dtype)}
+            print(f"thin resume from {path}: params restored, optimizer "
+                  f"state freshly initialized", flush=True)
+            return state, meta.get("epoch", 0)
         payload = ser.from_bytes(
             {"params": template["params"],
              "opt_state": template["opt_state"],
              "step": template["step"]},
             Path(path).read_bytes())
-        meta_path = Path(str(path) + ".json")
         epoch = 0
         if meta_path.exists():
-            epoch = json.loads(meta_path.read_text()).get("epoch", 0)
+            epoch = meta.get("epoch", 0)
         elif os.environ.get("FRESNEL_ALLOW_MISSING_SIDECAR"):
             # Explicit opt-out for checkpoints that genuinely have no
             # epoch provenance (e.g. hand-exported weights).

@@ -180,6 +180,37 @@ class TestTrainer:
         for a, b in zip(l1, l2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
+    def test_thin_checkpoint_resume(self, tiny_dataset, tmp_path):
+        """Thin (bf16 params-only) exports resume: params within bf16
+        rounding, fresh optimizer state, epoch/step from the sidecar."""
+        from fresnel_tpu.train.thin_ckpt import to_thin
+
+        cfg = tiny_config(tmp_path)
+        trainer = Trainer(cfg, PhysicsConfig(),
+                          HFGSConfig(learnable_wavelengths=True),
+                          HFTSConfig())
+        rng = np.random.default_rng(0)
+        batch = next(iter(tiny_dataset.batches(2, rng)))
+        state = trainer.init_state(batch)
+        state["step"] = jnp.asarray(123)
+        trainer.save_checkpoint(tmp_path / "full.msgpack", state, 7)
+        meta = to_thin(tmp_path / "full.msgpack", tmp_path / "thin.msgpack")
+        assert meta["thin"] and meta["step"] == 123 and meta["epoch"] == 7
+        # ~6x smaller: f32 params + 2 Adam moments -> bf16 params.
+        full_sz = (tmp_path / "full.msgpack").stat().st_size
+        thin_sz = (tmp_path / "thin.msgpack").stat().st_size
+        assert thin_sz < full_sz / 4
+        state2, epoch = trainer.load_checkpoint(tmp_path / "thin.msgpack",
+                                                batch)
+        assert epoch == 7 and int(state2["step"]) == 123
+        for a, b in zip(jax.tree.leaves(state["params"]),
+                        jax.tree.leaves(state2["params"])):
+            a = np.asarray(a)
+            np.testing.assert_allclose(
+                a, np.asarray(b, a.dtype), rtol=1e-2, atol=1e-2)
+        # The resumed state trains.
+        trainer.fit(tiny_dataset, state=state2, start_epoch=epoch + 1)
+
     def test_learnable_boundary_emphasis_trains(self, tiny_dataset,
                                                 tmp_path):
         # The emphasis vector must exist in params, receive gradient
