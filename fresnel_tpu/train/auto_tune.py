@@ -48,7 +48,7 @@ def _halton(index: int, base: int) -> float:
 
 def sample_params(trial: int) -> Dict[str, float]:
     """Quasi-random (Halton) sample of the search space — deterministic,
-    well-spread coverage without an external TPE library."""
+    well-spread coverage; used for TPE startup trials."""
     primes = [2, 3, 5, 7, 11, 13]
     out = {}
     for (name, (lo, hi, log)), p in zip(SEARCH_SPACE.items(), primes):
@@ -59,6 +59,83 @@ def sample_params(trial: int) -> Dict[str, float]:
         else:
             out[name] = float(lo + u * (hi - lo))
     return out
+
+
+def _to_unit(name: str, x: float) -> float:
+    lo, hi, log = SEARCH_SPACE[name]
+    if log:
+        return (math.log(x) - math.log(lo)) / (math.log(hi) - math.log(lo))
+    return (x - lo) / (hi - lo)
+
+
+def _from_unit(name: str, u: float) -> float:
+    lo, hi, log = SEARCH_SPACE[name]
+    u = min(max(u, 0.0), 1.0)
+    if log:
+        return float(math.exp(
+            math.log(lo) + u * (math.log(hi) - math.log(lo))))
+    return float(lo + u * (hi - lo))
+
+
+class TPESampler:
+    """Univariate Tree-structured Parzen Estimator (Bergstra et al. 2011)
+    — the sampler family behind Optuna's default TPESampler, which the
+    reference's tuner uses (reference: scripts/training/auto_tune_v2.py:
+    53-606, `optuna.samplers.TPESampler` + SuccessiveHalvingPruner).
+    Optuna is unavailable offline, so this is a self-contained
+    implementation of the same algorithm:
+
+    For each parameter independently (in unit/log space): past trials
+    are split at the ``gamma`` score-quantile into good and bad sets,
+    each modeled as a Parzen mixture of Gaussians (bandwidth by Scott's
+    rule with a floor); ``n_ei`` candidates are drawn from the GOOD
+    mixture and the candidate maximizing the density ratio l(x)/g(x)
+    — the expected-improvement surrogate — is chosen.  The first
+    ``n_startup`` suggestions fall back to the deterministic Halton
+    sweep, exactly as Optuna falls back to random sampling.
+    """
+
+    def __init__(self, n_startup: int = 4, gamma: float = 0.25,
+                 n_ei: int = 24, seed: int = 0):
+        self.n_startup = n_startup
+        self.gamma = gamma
+        self.n_ei = n_ei
+        self.rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _mixture_logpdf(x: np.ndarray, mus: np.ndarray,
+                        sigma: float) -> np.ndarray:
+        # (candidates, components) log-density of an equal-weight
+        # Gaussian mixture, reduced over components.
+        d = (x[:, None] - mus[None, :]) / sigma
+        comp = -0.5 * d * d - math.log(sigma * math.sqrt(2 * math.pi))
+        m = comp.max(axis=1)
+        return m + np.log(np.exp(comp - m[:, None]).mean(axis=1))
+
+    def suggest(self, observations: List[Tuple[Dict[str, float], float]]
+                ) -> Dict[str, float]:
+        """Next parameter set given [(params, score), ...] (higher score
+        is better)."""
+        if len(observations) < self.n_startup:
+            return sample_params(len(observations))
+        ranked = sorted(observations, key=lambda o: -o[1])
+        n_good = max(1, int(math.ceil(self.gamma * len(ranked))))
+        good, bad = ranked[:n_good], ranked[n_good:] or ranked[-1:]
+        out = {}
+        for name in SEARCH_SPACE:
+            gm = np.array([_to_unit(name, p[0][name]) for p in good])
+            bm = np.array([_to_unit(name, p[0][name]) for p in bad])
+            # Scott's rule bandwidth with a floor so tight clusters keep
+            # exploring; unit-space throughout.
+            gs = max(float(np.std(gm)) * len(gm) ** -0.2, 0.08)
+            bs = max(float(np.std(bm)) * len(bm) ** -0.2, 0.08)
+            cand = self.rng.normal(
+                gm[self.rng.integers(0, len(gm), self.n_ei)], gs)
+            cand = np.clip(cand, 0.0, 1.0)
+            ratio = (self._mixture_logpdf(cand, gm, gs)
+                     - self._mixture_logpdf(cand, bm, bs))
+            out[name] = _from_unit(name, float(cand[int(ratio.argmax())]))
+        return out
 
 
 class SelfImprovingTuner:
@@ -124,13 +201,23 @@ class SelfImprovingTuner:
         from fresnel_tpu.train.harness import Trainer
 
         self.output_dir.mkdir(parents=True, exist_ok=True)
-        candidates = [sample_params(t) for t in range(n_trials)]
+        # Rung 0 is sampled SEQUENTIALLY by TPE (Halton startup), so each
+        # trial conditions on every score observed so far — the same
+        # adaptive loop the reference gets from Optuna.  Later rungs
+        # promote survivors (successive halving).
+        sampler = TPESampler(n_startup=max(2, (n_trials + 1) // 2))
+        candidates: List[Dict[str, float]] = []
         epochs = self.trial_epochs
         state_of: Dict[int, Any] = {}
 
         for rung in range(self.rungs):
+            if rung == 0:
+                candidates = [None] * n_trials        # filled by TPE below
             results = []
             for ti, params in enumerate(candidates):
+                if params is None:
+                    params = sampler.suggest(
+                        [(s["params"], s["score"]) for s in self.study])
                 cfg = dataclasses.replace(
                     self.base_config,
                     lr=params["lr"],
