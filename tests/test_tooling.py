@@ -606,3 +606,46 @@ class TestCompileCache:
         import jax
         assert jax.config.jax_compilation_cache_dir == str(
             tmp_path / "fresnel_tpu" / "jax_cache" / fp)
+
+
+class TestDurableStore:
+    def test_put_get_list_prune_roundtrip(self, tmp_path, monkeypatch):
+        """tools/durable_store.py: artifacts survive on the orphan
+        `durable` branch (put/get/list), sidecars travel along, and
+        --prune-prefix drops superseded segment copies from the tree —
+        all inside a scratch repo so the real one is untouched."""
+        import subprocess
+        import sys
+        from pathlib import Path
+        sys.path.insert(0, str(Path(__file__).resolve().parent.parent
+                               / "tools"))
+        import durable_store
+
+        repo = tmp_path / "repo"
+        repo.mkdir()
+        monkeypatch.chdir(repo)
+        subprocess.run(["git", "init", "-q"], check=True)
+
+        a = repo / "run_epoch50.msgpack"
+        a.write_bytes(b"A" * 1000)
+        Path(str(a) + ".json").write_text('{"epoch": 50}')
+        durable_store.put(str(a), prune_prefix="run_epoch")
+        b = repo / "run_epoch100.msgpack"
+        b.write_bytes(b"B" * 2000)
+        Path(str(b) + ".json").write_text('{"epoch": 100}')
+        durable_store.put(str(b), prune_prefix="run_epoch")
+
+        names = sorted(durable_store._ls_tree())
+        # epoch50 pruned when epoch100 landed; sidecar tracked.
+        assert names == ["run_epoch100.msgpack",
+                         "run_epoch100.msgpack.json"]
+        dst = repo / "restored.msgpack"
+        assert durable_store.get("run_epoch100.msgpack", str(dst)) == 0
+        assert dst.read_bytes() == b"B" * 2000
+        assert json.loads(Path(str(dst) + ".json").read_text()) == {
+            "epoch": 100}
+        # Main's history is untouched (orphan ref only).
+        out = subprocess.run(["git", "log", "--oneline", "durable"],
+                             capture_output=True, text=True)
+        assert "durable: run_epoch100.msgpack" in out.stdout
+        assert durable_store.get("missing.msgpack", str(dst)) == 1

@@ -25,18 +25,27 @@ CLI:
 from __future__ import annotations
 
 import argparse
+import os
 import subprocess
 import sys
 from pathlib import Path
 
 REF = "refs/heads/durable"
 
+# commit-tree needs an ident; this is a machine artifact store, so a
+# fixed one beats failing in checkouts with no git user configured.
+_ENV = {**os.environ,
+        "GIT_AUTHOR_NAME": "durable-store",
+        "GIT_AUTHOR_EMAIL": "durable@localhost",
+        "GIT_COMMITTER_NAME": "durable-store",
+        "GIT_COMMITTER_EMAIL": "durable@localhost"}
+
 
 def _git(*args: str, input: bytes | None = None,
          quiet: bool = False) -> bytes:
     return subprocess.run(
         ["git", *args], input=input, check=True, stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL if quiet else None).stdout
+        stderr=subprocess.DEVNULL if quiet else None, env=_ENV).stdout
 
 
 def _ls_tree() -> dict:
