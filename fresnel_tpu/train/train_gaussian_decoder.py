@@ -135,10 +135,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0 re-enables the raw z channel as a bounded "
                         "per-Gaussian residual on the depth lock")
     p.add_argument("--feature_upsample", type=int, default=1,
-                   help="Decode on an f x finer patch lattice (bilinear "
-                        "feature upsample + learned conv refinement); "
-                        "attacks the patch-grid Nyquist texture cliff "
-                        "(T-038/T-040).  Experiment 2 only")
+                   help="RETIRED — do not use (kept for reproducibility). "
+                        "Decodes on an f x finer patch lattice by bilinear "
+                        "feature upsample + learned conv refinement; "
+                        "adjudicated NEGATIVE twice: default residual init "
+                        "scrambles the features (T-045, fixed by zero-init) "
+                        "AND with the fix the arm still converges to the "
+                        "structureless ~0.34-loss basin (T-045 closure) — "
+                        "interpolation adds lattice sites, not information. "
+                        "Use --feature_size 74 --encoder_attn_pool 2 for a "
+                        "genuinely finer lattice (T-048)")
     p.add_argument("--surface_init", action="store_true",
                    help="Umbrella: start decoder heads at surface-like "
                         "outputs (scale_bias=-2.6, opacity_bias=1.5) — "
